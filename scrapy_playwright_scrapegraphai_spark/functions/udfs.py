@@ -1,0 +1,226 @@
+"""Arrow-vectorized Spark wrappers around the pure kernels.
+
+Everything here is batch-vectorized (pandas UDF / mapInPandas over Arrow
+record batches) — the north rule forbids per-row Python in the hot path.
+The wrapped kernels live in ``kernels.py`` and are shared verbatim with
+the single-process oracle (byte parity by construction).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from . import kernels
+
+# --- scalar pandas UDFs (iterator form amortizes worker/parser setup) ------
+
+
+@pandas_udf(ArrayType(StringType()))
+def extract_links_udf(
+    it: Iterator[tuple[pd.Series, pd.Series]],
+) -> Iterator[pd.Series]:
+    """(html binary, base_url) → array<string> of resolved links.
+
+    Vectorizes kernels.extract_links (frontier_spider.py:186-212 parity).
+    """
+    for html, base in it:
+        yield pd.Series(
+            [
+                kernels.extract_links(h, b) if h is not None else []
+                for h, b in zip(html, base)
+            ]
+        )
+
+
+@pandas_udf(StringType())
+def extract_text_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """html binary → extracted visible text (north-rule byte invariant)."""
+    for html in it:
+        yield pd.Series(
+            [kernels.extract_text(h) if h is not None else None for h in html]
+        )
+
+
+@pandas_udf(StringType())
+def main_domain_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """urlparse(url).netloc (frontier_model.py:53-58). Python-urllib parity
+    path; ``F.parse_url(url,'HOST')`` is the native prefilter variant."""
+    for urls in it:
+        yield urls.map(lambda u: kernels.main_domain(u) if u else None)
+
+
+@pandas_udf(BooleanType())
+def is_valid_url_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    for urls in it:
+        yield urls.map(lambda u: kernels.is_valid_url(u) if u is not None else False)
+
+
+@pandas_udf(StringType())
+def canonicalize_url_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """Normalization-mode canonical URL (seen-set scale key)."""
+    for urls in it:
+        yield urls.map(
+            lambda u: kernels.canonicalize_url(u, mode="normalize") if u else None
+        )
+
+
+@pandas_udf(BooleanType())
+def matches_pattern_udf(
+    it: Iterator[tuple[pd.Series, pd.Series]],
+) -> Iterator[pd.Series]:
+    """(url, patterns array) → dual substring/regex match (url_utils.py:14-24).
+
+    Invalid-regex rows yield False here (row-granular use); page-granular
+    abort semantics live in ``expand_pages``/``classify_links``.
+    """
+    import re
+
+    for urls, pats in it:
+        out = []
+        for u, p in zip(urls, pats):
+            if u is None:
+                out.append(False)
+                continue
+            try:
+                out.append(kernels.matches_pattern(u, list(p) if p is not None else []))
+            except re.error:
+                out.append(False)
+        yield pd.Series(out)
+
+
+@pandas_udf(BooleanType())
+def robots_allows_udf(
+    it: Iterator[tuple[pd.Series, pd.Series, pd.Series]],
+) -> Iterator[pd.Series]:
+    """(url, allow_patterns, deny_patterns) → admission verdict."""
+    for urls, allows, denies in it:
+        yield pd.Series(
+            [
+                kernels.robots_allows(
+                    u,
+                    list(a) if a is not None else [],
+                    list(d) if d is not None else [],
+                )
+                for u, a, d in zip(urls, allows, denies)
+            ]
+        )
+
+
+# --- page expansion: extract + classify in ONE Arrow pass -------------------
+
+# Output schema of expand_pages (child-link rows).
+EXPANDED_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("category", StringType()),
+        StructField("url_type", IntegerType()),
+        StructField("depth", IntegerType()),
+        StructField("max_depth", IntegerType()),
+        StructField("target_patterns", ArrayType(StringType())),
+        StructField("seed_pattern", StringType()),
+        StructField("is_target", BooleanType()),
+        StructField("parent_url", StringType()),
+        StructField("parent_seq", LongType()),
+        StructField("item_seq", IntegerType()),
+        StructField("root_seed_id", IntegerType()),
+        StructField("found_count", IntegerType()),
+    ]
+)
+
+_EXPAND_IN_COLS = [
+    "url",
+    "category",
+    "url_type",
+    "depth",
+    "max_depth",
+    "target_patterns",
+    "seed_pattern",
+    "html",
+    "discovery_seq",
+    "root_seed_id",
+]
+
+
+def expand_pages(fetched: DataFrame) -> DataFrame:
+    """Fetched frontier pages → classified child-link rows.
+
+    One ``mapInPandas`` pass fuses link extraction
+    (frontier_spider.py:186-212), validity filtering (url_utils.py:5-11)
+    and target/seed classification with depth gating
+    (crawl_manager_utils.py:18-125). Fusing keeps the huge intermediate
+    found-links arrays inside the Python worker instead of shipping them
+    through the JVM for a posexplode — at 10^10-URL scale that array
+    shuffle would dominate.
+
+    Input columns: url, category, url_type, depth, max_depth,
+    target_patterns, seed_pattern, html, discovery_seq, root_seed_id.
+    Output: EXPANDED_SCHEMA; ``item_seq`` preserves the reference's
+    yielded-item order (targets in link order, then seeds), ``found_count``
+    is len(found_links) for lineage metrics (logging_utils.py:93-122).
+    """
+
+    def _expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for r in pdf.itertuples(index=False):
+                if r.html is None:
+                    continue
+                found = kernels.extract_links(r.html, r.url)
+                items = kernels.classify_links(
+                    r.url,
+                    found,
+                    int(r.url_type),
+                    list(r.target_patterns) if r.target_patterns is not None else [],
+                    r.seed_pattern,
+                    int(r.depth),
+                    int(r.max_depth),
+                )
+                for item in items:
+                    rows.append(
+                        {
+                            "url": item.url,
+                            "category": r.category,
+                            "url_type": int(r.url_type),
+                            "depth": item.depth,
+                            "max_depth": int(r.max_depth),
+                            "target_patterns": list(r.target_patterns)
+                            if r.target_patterns is not None
+                            else [],
+                            "seed_pattern": r.seed_pattern,
+                            "is_target": item.is_target,
+                            "parent_url": r.url,
+                            "parent_seq": int(r.discovery_seq),
+                            "item_seq": item.item_seq,
+                            "root_seed_id": int(r.root_seed_id),
+                            "found_count": len(found),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in EXPANDED_SCHEMA.fields]
+            ) if rows else pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in EXPANDED_SCHEMA.fields}
+            )
+
+    return fetched.select(*_EXPAND_IN_COLS).mapInPandas(_expand, EXPANDED_SCHEMA)
+
+
+def with_main_domain(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Attach main_domain. Uses the urllib-parity pandas UDF; the native
+    ``parse_url`` expression exists as a prefilter but urllib and Java
+    disagree on edge cases (userinfo, bare ports), so the stored column
+    comes from the parity path."""
+    return df.withColumn("main_domain", main_domain_udf(F.col(url_col)))

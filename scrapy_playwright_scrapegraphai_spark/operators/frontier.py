@@ -1,0 +1,155 @@
+"""Frontier table operators: dedup discipline + discovery-sequence assignment.
+
+Replicates the reference's two dedup layers set-oriented:
+- J1 existence check on ``url`` alone (pipelines.py:72-111,
+  frontier_crud.py:122-139 — note: URL-GLOBAL, first category to discover
+  a URL wins) → left-anti join against the seen set.
+- J2 ``INSERT … ON CONFLICT (url, category) DO NOTHING`` (queries.sql:56,
+  schema.sql:30) → within-batch first-writer-wins dedup. Because J1 is
+  url-global and the reference pipeline is sequential, the effective
+  within-batch grain is also ``url``; first writer = lowest
+  (parent discovery_seq, item_seq), i.e. insertion order.
+
+Discovery sequence: the reference's BIGSERIAL ``id`` (schema.sql:3)
+doubles as FIFO scheduling order (queries.sql:62 ORDER BY insert_date).
+Spark's ``monotonically_increasing_id`` is neither dense nor stable, so
+we assign an explicit dense sequence. Two implementations:
+- 'window': one global window — simple, fine for politeness-bounded
+  superstep batches in tests.
+- 'ranged': repartitionByRange + per-partition row_number + partition
+  offsets — the scale path; no single-partition global sort (partition i
+  holds strictly smaller keys than i+1, so pid order IS global order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+FRONTIER_COLUMNS = [
+    "discovery_seq",
+    "url",
+    "url_hash",
+    "category",
+    "url_type",
+    "depth",
+    "max_depth",
+    "main_domain",
+    "target_patterns",
+    "seed_pattern",
+    "is_target",
+    "parent_url",
+    "root_seed_id",
+    "is_root",
+    "url_state",
+    "error_message",
+    "attempt",
+    "superstep",
+]
+
+FRONTIER_DDL = (
+    "discovery_seq long, url string, url_hash long, category string, "
+    "url_type int, depth int, max_depth int, main_domain string, "
+    "target_patterns array<string>, seed_pattern string, is_target boolean, "
+    "parent_url string, root_seed_id int, is_root boolean, url_state string, "
+    "error_message string, attempt int, superstep int"
+)
+
+
+def first_writer_dedup(
+    df: DataFrame,
+    order_cols: list[str],
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keep the first row per key under the given deterministic order.
+
+    J2 analogue: within one superstep batch, the sequentially-first
+    discovery wins (the reference's ON CONFLICT DO NOTHING under
+    single-threaded item flow). Never ``dropDuplicates`` (nondeterministic
+    winner) — explicit ``row_number`` per SURVEY.md §4.2.
+    """
+    key_cols = key_cols or ["url"]
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_cols])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def anti_join_seen(candidates: DataFrame, seen: DataFrame) -> DataFrame:
+    """J1: drop candidates whose ``url`` already exists in the seen set.
+
+    Exactness is non-negotiable (north rule: final URL-seen set must match
+    the reference); the bloom shards in ``seenset.py`` are a *prefilter*
+    only — false positives are re-checked here, never dropped.
+    At scale both sides are hash-partitioned on ``xxhash64(url)`` so AQE
+    plans a co-partitioned shuffle join; with a small candidate batch the
+    join flips to broadcast automatically.
+    """
+    return candidates.join(seen.select("url").distinct(), on="url", how="left_anti")
+
+
+def assign_global_seq(
+    df: DataFrame,
+    order_cols: list[str],
+    start: int = 0,
+    mode: str = "ranged",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add dense ``discovery_seq`` = start + (rank in global order) - 1.
+
+    'ranged' mode avoids the single-partition global window: range-
+    repartition on the order key, row_number within each partition, then
+    add per-partition offsets (computed from a tiny P-row count collect).
+    Order keys must be unique (ours are: (parent_seq, item_seq)).
+    """
+    cols = [F.col(c) for c in order_cols]
+    if mode == "window":
+        w = Window.orderBy(*cols)
+        return df.withColumn(
+            "discovery_seq", (F.row_number().over(w) + F.lit(start - 1)).cast("long")
+        )
+
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    ranged = ranged.localCheckpoint(eager=True)  # pin partitioner for both passes
+    counts = {r["_pid"]: r["cnt"] for r in
+              ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if offsets:
+        offmap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+        off_expr = offmap[F.col("_pid")]
+    else:  # empty batch — any literal works, no rows exist
+        off_expr = F.lit(start)
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        ranged.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "discovery_seq",
+            (off_expr + F.col("_rn") - F.lit(1)).cast("long"),
+        )
+        .drop("_pid", "_rn")
+    )
+
+
+def finalize_new_rows(new: DataFrame, superstep: int) -> DataFrame:
+    """Classified+deduped child rows → full frontier-schema rows."""
+    from ..functions.udfs import main_domain_udf
+
+    return (
+        new.withColumn("url_hash", F.xxhash64(F.col("url")))
+        .withColumn("main_domain", main_domain_udf(F.col("url")))
+        .withColumn("is_root", F.lit(False))
+        .withColumn("url_state", F.lit("pending"))
+        .withColumn("error_message", F.lit(None).cast("string"))
+        .withColumn("attempt", F.lit(0))
+        .withColumn("superstep", F.lit(superstep))
+        .select(*FRONTIER_COLUMNS)
+    )

@@ -1,0 +1,163 @@
+"""Partitioned bloom-filter URL-seen set (K5, north-rule scale structure).
+
+The reference's seen set is a Postgres unique index probed one URL per
+round-trip (frontier_crud.py:122-139) — its principal bottleneck. At the
+10^10-URL design point an exact anti-join of every candidate batch against
+the full frontier would shuffle the frontier every superstep; the bloom
+shards cut that to (a) a broadcast-size bitmap probe that discards the
+vast majority of already-seen candidates map-side, then (b) an exact
+anti-join of the few survivors against only the matching hash partitions.
+
+Exactness contract: bloom false positives are *re-checked* by the exact
+anti-join (never dropped); bloom has no false negatives, so no unseen URL
+is ever lost. The final seen set is therefore byte-equal to the exact
+path — asserted in tests.
+
+Sharding: shard = pmod(xxhash64(url), P) computed JVM-side (consistent
+between build and probe). Bit positions inside a shard come from
+blake2b(url) — stable across Python versions/processes. Each shard is a
+numpy bitmap blob; P blobs are collected (a few MB total at sandbox
+scale) and broadcast. At cluster scale, shards live as binary rows in an
+Iceberg table, loaded per-superstep and broadcast-merged (delta-OR of the
+new-URL bitmaps), never rebuilt from scratch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _bit_positions(url: str, m_bits: int, k: int) -> list[int]:
+    digest = hashlib.blake2b(url.encode("utf-8"), digest_size=16).digest()
+    h1 = int.from_bytes(digest[:8], "little")
+    h2 = int.from_bytes(digest[8:], "little") | 1
+    return [((h1 + i * h2) % m_bits) for i in range(k)]
+
+
+class BloomShards:
+    """P independent bloom bitmaps keyed by pmod(xxhash64(url), P)."""
+
+    def __init__(self, num_shards: int, bits_per_shard: int, num_hashes: int = 5):
+        self.num_shards = num_shards
+        self.bits = bits_per_shard
+        self.k = num_hashes
+        self.bitmaps = [
+            np.zeros(math.ceil(bits_per_shard / 8), dtype=np.uint8)
+            for _ in range(num_shards)
+        ]
+
+    @classmethod
+    def sized_for(cls, expected_urls: int, num_shards: int = 16,
+                  fpp: float = 0.01) -> "BloomShards":
+        per_shard = max(1, expected_urls // num_shards)
+        m = max(1024, int(-per_shard * math.log(fpp) / (math.log(2) ** 2)))
+        k = max(1, round(m / per_shard * math.log(2))) if per_shard else 5
+        return cls(num_shards, m, min(k, 8))
+
+    def add(self, url: str, shard: int) -> None:
+        bm = self.bitmaps[shard]
+        for pos in _bit_positions(url, self.bits, self.k):
+            bm[pos >> 3] |= 1 << (pos & 7)
+
+    def might_contain(self, url: str, shard: int) -> bool:
+        bm = self.bitmaps[shard]
+        return all(
+            bm[pos >> 3] & (1 << (pos & 7))
+            for pos in _bit_positions(url, self.bits, self.k)
+        )
+
+    # --- Spark integration --------------------------------------------------
+
+    def add_df(self, df: DataFrame, url_col: str = "url") -> None:
+        """OR the URLs of ``df`` into the shards.
+
+        Builds per-partition delta bitmaps executor-side (Arrow batches via
+        mapInPandas) and ORs the P small blobs driver-side — the per-URL
+        work is distributed; only num_shards blobs travel.
+        """
+        num_shards, bits, k = self.num_shards, self.bits, self.k
+        nbytes = self.bitmaps[0].nbytes
+
+        def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            local = {}
+            for pdf in batches:
+                for url, shard in zip(pdf["u"], pdf["s"]):
+                    bm = local.get(shard)
+                    if bm is None:
+                        bm = local[shard] = np.zeros(nbytes, dtype=np.uint8)
+                    for pos in _bit_positions(url, bits, k):
+                        bm[pos >> 3] |= 1 << (pos & 7)
+            yield pd.DataFrame(
+                {"shard": list(local), "blob": [bm.tobytes() for bm in local.values()]}
+            )
+
+        deltas = (
+            df.select(
+                F.col(url_col).alias("u"),
+                F.pmod(F.xxhash64(F.col(url_col)), F.lit(num_shards)).alias("s"),
+            )
+            .mapInPandas(_build, "shard int, blob binary")
+            .collect()
+        )
+        for row in deltas:
+            self.bitmaps[row["shard"]] |= np.frombuffer(row["blob"], dtype=np.uint8)
+
+    def prefilter_maybe_seen(self, df: DataFrame, url_col: str = "url"):
+        """Split df into (maybe_seen, definitely_new) via broadcast probe.
+
+        ``definitely_new`` rows need no exact anti-join (no false
+        negatives); ``maybe_seen`` rows go to the exact check.
+        """
+        spark = df.sparkSession
+        bc = spark.sparkContext.broadcast(
+            [bm.tobytes() for bm in self.bitmaps]
+        )
+        bits, k, num_shards = self.bits, self.k, self.num_shards
+
+        def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            maps = [np.frombuffer(b, dtype=np.uint8) for b in bc.value]
+            for pdf in batches:
+                out = []
+                for url, shard in zip(pdf["_u"], pdf["_s"]):
+                    bm = maps[shard]
+                    out.append(
+                        all(
+                            bm[p >> 3] & (1 << (p & 7))
+                            for p in _bit_positions(url, bits, k)
+                        )
+                    )
+                pdf = pdf.copy()
+                pdf["_maybe"] = out
+                yield pdf
+
+        with_flag = (
+            df.withColumn("_u", F.col(url_col))
+            .withColumn("_s", F.pmod(F.xxhash64(F.col(url_col)), F.lit(num_shards)))
+        )
+        from pyspark.sql.types import BooleanType, StructField, StructType
+
+        # fresh StructType — .add() would mutate the DataFrame's cached schema
+        schema = StructType(
+            list(with_flag.schema.fields) + [StructField("_maybe", BooleanType())]
+        )
+        probed = with_flag.mapInPandas(_probe, schema)
+        maybe = probed.filter(F.col("_maybe")).drop("_u", "_s", "_maybe")
+        new = probed.filter(~F.col("_maybe")).drop("_u", "_s", "_maybe")
+        return maybe, new
+
+    def serialize(self) -> list[tuple[int, bytes]]:
+        return [(i, bm.tobytes()) for i, bm in enumerate(self.bitmaps)]
+
+    @classmethod
+    def deserialize(cls, rows, bits_per_shard: int, num_hashes: int) -> "BloomShards":
+        rows = sorted(rows)
+        obj = cls(len(rows), bits_per_shard, num_hashes)
+        obj.bitmaps = [np.frombuffer(b, dtype=np.uint8).copy() for _, b in rows]
+        return obj

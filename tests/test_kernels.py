@@ -1,0 +1,242 @@
+"""Pure-function parity tests for the kernel library (no Spark).
+
+Table/property tests of is_valid_url / matches_pattern / classify_links /
+extract_links against the reference's exact semantics
+(url_utils.py:5-24, crawl_manager_utils.py:18-125,
+frontier_spider.py:186-212) on adversarial URL fixtures (FIXTURES.md §8).
+"""
+
+import re
+
+import pytest
+from hypothesis import given
+from hypothesis import strategies as st
+
+from scrapy_playwright_scrapegraphai_spark.functions import kernels as K
+
+
+# --- is_valid_url (url_utils.py:5-11) ---------------------------------------
+
+@pytest.mark.parametrize(
+    "url,ok",
+    [
+        ("https://a.b/p", True),
+        ("http://a.b", True),
+        ("ftp://x.y/z", True),
+        ("//a.b/p", False),            # no scheme
+        ("a.b/p", False),              # no scheme
+        ("https:///p", False),         # no netloc
+        ("javascript:void(0)", False), # no netloc
+        ("mailto:x@y.z", False),       # no netloc
+        ("", False),
+        ("https://a.b/p#frag", True),
+        ("https://user:pw@a.b:8080/p?q=1", True),
+    ],
+)
+def test_is_valid_url(url, ok):
+    assert K.is_valid_url(url) is ok
+
+
+# --- matches_pattern (url_utils.py:14-24) -----------------------------------
+
+def test_matches_pattern_empty():
+    assert K.matches_pattern("https://a.b/x.pdf", []) is False
+    assert K.matches_pattern("https://a.b/x.pdf", None) is False
+
+
+def test_matches_pattern_substring_case_insensitive():
+    assert K.matches_pattern("https://a.b/Doc.PDF", [".pdf"])
+    assert K.matches_pattern("https://a.b/doc.pdf", [".PDF"])
+    assert not K.matches_pattern("https://a.b/doc.txt", [".pdf"])
+
+
+def test_matches_pattern_regex_fallback():
+    assert K.matches_pattern("https://a.b/download/123", [r"/download/\d+"])
+    assert not K.matches_pattern("https://a.b/download/abc", [r"/download/\d+"])
+    # regex is case-insensitive (re.IGNORECASE)
+    assert K.matches_pattern("https://a.b/DOWNLOAD/123", [r"/download/\d+"])
+
+
+def test_matches_pattern_substring_first_shields_invalid_regex():
+    # '[invalid' is an invalid regex but a valid substring → substring wins
+    assert K.matches_pattern("https://a.b/[invalid/x", ["[invalid"])
+    # invalid regex that is NOT a substring → re.error propagates (reference
+    # behavior: the exception escapes matches_pattern)
+    with pytest.raises(re.error):
+        K.matches_pattern("https://a.b/x", ["[unclosed"])
+
+
+# --- classify_links (crawl_manager_utils.py:18-125) --------------------------
+
+LINKS = [
+    "https://h.t/page/1",       # seed
+    "https://h.t/doc.pdf",      # target
+    "not-a-url",                # invalid → dropped
+    "https://h.t/page/2",       # seed
+    "https://h.t/other.PDF",    # target (case-insensitive)
+]
+
+
+def test_classify_type0_direct_target():
+    items = K.classify_links("https://h.t/d.pdf", LINKS, 0, [], None, 0, 0)
+    assert len(items) == 1
+    assert items[0].url == "https://h.t/d.pdf"
+    assert items[0].is_target and items[0].depth == 0 and items[0].item_seq == 0
+
+
+def test_classify_type1_targets_only():
+    items = K.classify_links("https://h.t/", LINKS, 1, [".pdf"], "/page/", 0, 0)
+    assert [i.url for i in items] == ["https://h.t/doc.pdf", "https://h.t/other.PDF"]
+    assert all(i.is_target and i.depth == 0 for i in items)
+
+
+def test_classify_type2_below_max_depth_targets_then_seeds():
+    items = K.classify_links("https://h.t/", LINKS, 2, [".pdf"], "/page/", 0, 1)
+    # reference order: all targets (link order) then all seeds (link order)
+    assert [i.url for i in items] == [
+        "https://h.t/doc.pdf",
+        "https://h.t/other.PDF",
+        "https://h.t/page/1",
+        "https://h.t/page/2",
+    ]
+    assert [i.is_target for i in items] == [True, True, False, False]
+    # targets carry current_depth, seeds carry current_depth+1
+    assert [i.depth for i in items] == [0, 0, 1, 1]
+    assert [i.item_seq for i in items] == [0, 1, 2, 3]
+
+
+def test_classify_type2_at_max_depth_targets_only():
+    items = K.classify_links("https://h.t/", LINKS, 2, [".pdf"], "/page/", 1, 1)
+    assert all(i.is_target for i in items)
+    assert len(items) == 2
+
+
+def test_classify_type2_beyond_max_depth_nothing():
+    assert K.classify_links("https://h.t/", LINKS, 2, [".pdf"], "/page/", 2, 1) == []
+
+
+def test_classify_invalid_regex_aborts_page_partial():
+    # invalid regex in target_patterns and links that don't substring-match →
+    # re.error inside _target_links → reference returns items-so-far (none)
+    items = K.classify_links(
+        "https://h.t/", ["https://h.t/x"], 2, ["[unclosed"], "/page/", 0, 1
+    )
+    assert items == []
+
+
+def test_classify_no_seed_pattern_no_seeds():
+    items = K.classify_links("https://h.t/", LINKS, 2, [".pdf"], None, 0, 1)
+    assert all(i.is_target for i in items)
+
+
+# --- extract_links / extract_text (frontier_spider.py:186-212) ---------------
+
+HTML = b"""<html><head><title>T</title>
+<script>var a = '<a href="https://no.t/script">x</a>';</script>
+<style>.x{}</style></head>
+<body>
+<p>Hello  world</p>
+<a href="/rel/1">r1</a>
+<a href="page2">r2</a>
+<a href="../up">r3</a>
+<a href="https://abs.t/p">abs</a>
+<a href="">empty</a>
+<a>nohref</a>
+<a href="#frag">frag</a>
+<div class="modal" id="m"><a href="/modal/doc.pdf">m</a></div>
+<p>Tail</p>
+</body></html>"""
+
+
+def test_extract_links_order_resolution_and_modal_duplication():
+    links = K.extract_links(HTML, "https://base.t/dir/page1")
+    assert links == [
+        "https://base.t/rel/1",
+        "https://base.t/dir/page2",
+        "https://base.t/up",
+        "https://abs.t/p",
+        "https://base.t/dir/page1#frag",
+        "https://base.t/modal/doc.pdf",   # main pass (modal anchors are in DOM)
+        "https://base.t/modal/doc.pdf",   # appended again by the modal pass
+    ]
+
+
+def test_extract_links_script_anchors_not_parsed():
+    links = K.extract_links(HTML, "https://base.t/")
+    assert "https://no.t/script" not in links
+
+
+def test_extract_text_deterministic_and_skips_script_style():
+    text = K.extract_text(HTML)
+    assert "Hello  world" in text
+    assert "var a" not in text and ".x{}" not in text
+    assert text == K.extract_text(HTML)  # determinism
+    # bytes-identity under round-trip
+    assert text.encode("utf-8") == K.extract_text(HTML).encode("utf-8")
+
+
+def test_extract_links_accepts_str_and_bytes():
+    assert K.extract_links(HTML.decode(), "https://b.t/") == K.extract_links(
+        HTML, "https://b.t/"
+    )
+
+
+def test_extract_broken_html_salvages():
+    broken = b"<html><body><a href='/x'>ok</a><div><<<"
+    assert K.extract_links(broken, "https://h.t/") == ["https://h.t/x"]
+
+
+# --- canonicalize / main_domain ----------------------------------------------
+
+def test_canonicalize_exact_is_identity():
+    u = "HTTPS://Host.T:443/P?q=1#f"
+    assert K.canonicalize_url(u) == u
+
+
+def test_canonicalize_normalize():
+    assert (
+        K.canonicalize_url("HTTPS://Host.T:443/P?q=1#f", mode="normalize")
+        == "https://host.t/P?q=1"
+    )
+    assert K.canonicalize_url("http://A.B:80", mode="normalize") == "http://a.b/"
+
+
+def test_main_domain():
+    assert K.main_domain("https://user@h.t:8080/p") == "user@h.t:8080"
+    assert K.main_domain("https://h.t/p") == "h.t"
+
+
+# --- robots / budget ----------------------------------------------------------
+
+def test_robots_allows():
+    assert K.robots_allows("https://h.t/pub/x", [], ["/private/"])
+    assert not K.robots_allows("https://h.t/private/x", [], ["/private/"])
+    assert K.robots_allows("https://h.t/private/ok", ["/private/ok"], ["/private/"])
+    assert K.robots_allows("https://h.t/anything", [], [])
+
+
+def test_host_budget():
+    assert K.host_budget(2.0, 10.0) == 5
+    assert K.host_budget(4.0, 10.0) == 2
+    assert K.host_budget(None, 10.0) == 5   # default DOWNLOAD_DELAY=2
+    assert K.host_budget(100.0, 10.0) == 1  # minimum 1
+
+
+# --- property tests -----------------------------------------------------------
+
+@given(st.text(max_size=50))
+def test_is_valid_url_never_raises(s):
+    assert K.is_valid_url(s) in (True, False)
+
+
+@given(st.text(max_size=80), st.text(min_size=1, max_size=10))
+def test_substring_match_parity(url, pat):
+    # whenever pat is a ci-substring of url, matches_pattern must be True
+    if pat.lower() in url.lower():
+        assert K.matches_pattern(url, [pat])
+
+
+@given(st.binary(max_size=300))
+def test_extract_never_raises_on_garbage(b):
+    K.extract_links(b, "https://h.t/")
+    K.extract_text(b)

@@ -1,0 +1,218 @@
+"""Spark-level operator tests: UDF parity, dedup, sequencing, politeness,
+bloom seen-set."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from scrapy_playwright_scrapegraphai_spark.functions import kernels as K
+from scrapy_playwright_scrapegraphai_spark.functions.udfs import (
+    expand_pages,
+    extract_links_udf,
+    extract_text_udf,
+    main_domain_udf,
+)
+from scrapy_playwright_scrapegraphai_spark.operators.frontier import (
+    anti_join_seen,
+    assign_global_seq,
+    first_writer_dedup,
+)
+from scrapy_playwright_scrapegraphai_spark.operators.politeness import admit
+from scrapy_playwright_scrapegraphai_spark.operators.seenset import BloomShards
+
+
+# --- UDF ≡ kernel parity (north-rule byte invariant) -------------------------
+
+def test_extract_udfs_match_kernels(spark, corpus):
+    pages = corpus.pages[:60]
+    df = spark.createDataFrame(
+        [(p["url"], p["html"]) for p in pages], "url string, html binary"
+    )
+    got = (
+        df.select("url", extract_text_udf("html").alias("t"),
+                  extract_links_udf("html", "url").alias("l"))
+        .collect()
+    )
+    by_url = {p["url"]: p for p in pages}
+    for row in got:
+        p = by_url[row["url"]]
+        assert row["t"].encode("utf-8") == K.extract_text(p["html"]).encode("utf-8")
+        assert row["l"] == K.extract_links(p["html"], p["url"])
+        assert row["t"] == p["text"]  # corpus text column is the oracle output
+
+
+def test_main_domain_udf(spark):
+    df = spark.createDataFrame(
+        [("https://user@h.t:8080/p",), ("https://h.t/p",)], "url string"
+    )
+    rows = df.select(main_domain_udf("url").alias("d")).collect()
+    assert [r["d"] for r in rows] == ["user@h.t:8080", "h.t"]
+
+
+def test_expand_pages_matches_kernel_classification(spark, corpus):
+    page = next(p for p in corpus.pages if b"/page/" in p["html"])
+    fetched = spark.createDataFrame(
+        [
+            (
+                page["url"], "Cat", 2, 0, 2, [".pdf", r"/download/\d+"],
+                "/page/", page["html"], 100, 0,
+            )
+        ],
+        "url string, category string, url_type int, depth int, max_depth int, "
+        "target_patterns array<string>, seed_pattern string, html binary, "
+        "discovery_seq long, root_seed_id int",
+    )
+    rows = expand_pages(fetched).orderBy("item_seq").collect()
+    found = K.extract_links(page["html"], page["url"])
+    expected = K.classify_links(
+        page["url"], found, 2, [".pdf", r"/download/\d+"], "/page/", 0, 2
+    )
+    assert [(r["url"], r["is_target"], r["depth"], r["item_seq"]) for r in rows] == [
+        (i.url, i.is_target, i.depth, i.item_seq) for i in expected
+    ]
+    assert all(r["parent_seq"] == 100 and r["found_count"] == len(found) for r in rows)
+
+
+# --- dedup + sequencing --------------------------------------------------------
+
+def test_first_writer_dedup_deterministic(spark):
+    df = spark.createDataFrame(
+        [("u1", 5, 0), ("u1", 3, 1), ("u2", 7, 0), ("u1", 3, 0)],
+        "url string, parent_seq long, item_seq int",
+    )
+    rows = first_writer_dedup(df, ["parent_seq", "item_seq"]).orderBy("url").collect()
+    assert [(r["url"], r["parent_seq"], r["item_seq"]) for r in rows] == [
+        ("u1", 3, 0), ("u2", 7, 0)
+    ]
+
+
+def test_anti_join_seen(spark):
+    cand = spark.createDataFrame([("a",), ("b",), ("c",)], "url string")
+    seen = spark.createDataFrame([("b",), ("d",)], "url string")
+    assert sorted(r["url"] for r in anti_join_seen(cand, seen).collect()) == ["a", "c"]
+
+
+@pytest.mark.parametrize("mode", ["window", "ranged"])
+def test_assign_global_seq_dense_and_ordered(spark, mode):
+    data = [(i % 7, i) for i in range(200)]  # (parent_seq, item_seq) unique pairs
+    df = spark.createDataFrame(data, "parent_seq long, item_seq int")
+    out = assign_global_seq(df, ["parent_seq", "item_seq"], start=10, mode=mode)
+    rows = out.orderBy("discovery_seq").collect()
+    assert [r["discovery_seq"] for r in rows] == list(range(10, 210))
+    # seq order == key order
+    keys = [(r["parent_seq"], r["item_seq"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_assign_global_seq_modes_agree(spark):
+    data = [(i * 13 % 101, i) for i in range(150)]
+    df = spark.createDataFrame(data, "parent_seq long, item_seq int")
+    a = assign_global_seq(df, ["parent_seq", "item_seq"], 0, "window").collect()
+    b = assign_global_seq(df, ["parent_seq", "item_seq"], 0, "ranged").collect()
+    key = lambda rows: sorted((r["parent_seq"], r["item_seq"], r["discovery_seq"]) for r in rows)
+    assert key(a) == key(b)
+
+
+# --- politeness admission -------------------------------------------------------
+
+def _work_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "discovery_seq long, url string, main_domain string"
+    )
+
+
+def _robots_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "main_domain string, allow_patterns array<string>, "
+        "deny_patterns array<string>, crawl_delay_s double",
+    )
+
+
+def test_admit_budget_and_fifo(spark):
+    work = _work_df(
+        spark,
+        [(i, f"https://h1.t/p{i}", "h1.t") for i in range(10)]
+        + [(100 + i, f"https://h2.t/p{i}", "h2.t") for i in range(3)],
+    )
+    robots = _robots_df(spark, [("h1.t", [], [], 2.0), ("h2.t", [], [], 5.0)])
+    res = admit(work, robots, superstep_seconds=10.0, salt_shards=4)
+    admitted = res.admitted.collect()
+    # h1: budget floor(10/2)=5, oldest-first seqs 0..4; h2: floor(10/5)=2
+    by_host = {}
+    for r in admitted:
+        by_host.setdefault(r["main_domain"], []).append(r["discovery_seq"])
+    assert sorted(by_host["h1.t"]) == [0, 1, 2, 3, 4]
+    assert sorted(by_host["h2.t"]) == [100, 101]
+    assert res.deferred.count() == 10 + 3 - 7
+    assert res.denied.count() == 0
+
+
+def test_admit_robots_denied_and_default_delay(spark):
+    work = _work_df(
+        spark,
+        [
+            (0, "https://h1.t/private/x", "h1.t"),
+            (1, "https://h1.t/pub/x", "h1.t"),
+            (2, "https://nobody.t/x", "nobody.t"),  # no robots row → allowed
+        ],
+    )
+    robots = _robots_df(spark, [("h1.t", [], ["/private/"], 2.0)])
+    res = admit(work, robots, superstep_seconds=10.0)
+    assert [r["discovery_seq"] for r in res.denied.collect()] == [0]
+    assert sorted(r["discovery_seq"] for r in res.admitted.collect()) == [1, 2]
+
+
+def test_admit_two_phase_exact_vs_single_window(spark):
+    # salted two-phase must select exactly the global per-host top-budget
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    seqs = list(range(500))
+    rng.shuffle(seqs)
+    for i, s in enumerate(seqs):
+        host = "mega.t" if i % 5 else "small.t"
+        rows.append((s, f"https://{host}/p{s}", host))
+    work = _work_df(spark, rows)
+    robots = _robots_df(spark, [("mega.t", [], [], 1.0), ("small.t", [], [], 1.0)])
+    res = admit(work, robots, superstep_seconds=50.0, salt_shards=8)
+    got = sorted(r["discovery_seq"] for r in res.admitted.collect())
+    expected = []
+    for host in ("mega.t", "small.t"):
+        host_seqs = sorted(s for (s, u, h) in rows if h == host)
+        expected.extend(host_seqs[:50])  # budget floor(50/1)=50
+    assert got == sorted(expected)
+
+
+# --- bloom seen-set ---------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_prefilter(spark):
+    urls = [f"https://h{i%9}.t/p/{i}" for i in range(3000)]
+    seen_df = spark.createDataFrame([(u,) for u in urls[:2000]], "url string")
+    bloom = BloomShards.sized_for(4000, num_shards=8)
+    bloom.add_df(seen_df)
+    # no false negatives — every added URL must probe positive
+    cand = spark.createDataFrame([(u,) for u in urls], "url string")
+    maybe, new = bloom.prefilter_maybe_seen(cand)
+    maybe_urls = {r["url"] for r in maybe.collect()}
+    new_urls = {r["url"] for r in new.collect()}
+    assert set(urls[:2000]) <= maybe_urls
+    assert new_urls.isdisjoint(set(urls[:2000]))
+    assert maybe_urls | new_urls == set(urls)
+    # end-to-end exactness: bloom prefilter + exact anti-join ≡ plain anti-join
+    survivors = anti_join_seen(maybe, seen_df)
+    combined = sorted(new_urls | {r["url"] for r in survivors.collect()})
+    exact = sorted(r["url"] for r in anti_join_seen(cand, seen_df).collect())
+    assert combined == exact
+
+
+def test_bloom_serialize_roundtrip():
+    bloom = BloomShards(4, 1 << 12, 5)
+    for i in range(100):
+        u = f"https://x.t/{i}"
+        bloom.add(u, i % 4)
+    rows = bloom.serialize()
+    back = BloomShards.deserialize(rows, 1 << 12, 5)
+    for i in range(100):
+        assert back.might_contain(f"https://x.t/{i}", i % 4)
