@@ -1,38 +1,40 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship operator (W2 per-host politeness admission —
+the reference's CONCURRENT_REQUESTS_PER_DOMAIN=1 + DOWNLOAD_DELAY
+discipline, /root/reference/src/crawler/settings.py:34-35,77-78 — as a
+two-phase salted window rank) on the sf0.001 testdata. ``queries`` /
+``oracle_sql`` cover the operator inventory of SURVEY.md §2 plus the
+training-data ops (dedup suite, similarity search, text analytics);
+implementations live in
+``scrapy_playwright_scrapegraphai_spark/entry_queries.py``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from scrapy_playwright_scrapegraphai_spark import entry_queries as EQ
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return EQ.q_politeness_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(EQ.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL oracle per query; sketch ops
+    (minhash/simhash/LSH-knn) are intentionally omitted — non-portable
+    hash functions — and pytest verifies them against exact operators."""
+    return dict(EQ.ORACLE_SQL)

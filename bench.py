@@ -1,0 +1,235 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Main mode: runs the headline operator queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the
+crawl-engine throughput benchmark at TWO parallelism levels (local[8] vs
+local[$SPARK_GRAFT_CPUS]) on an identical synthetic pages corpus — the
+sandbox stand-in for the N→4N-executor scaling criterion (BASELINE.md).
+Asserts the URL-seen set and crawl ordering are identical at both sizes
+(order-independent checksum over (discovery_seq, url, state)).
+
+Prints exactly ONE JSON line:
+  {"metric": "crawl_urls_per_sec_local32", "value": <urls/sec>,
+   "unit": "urls/sec", "queries": {<name>: seconds, ...}, "sf": ...,
+   "scaling": {...}, ...}
+
+Each crawl run executes in a fresh JVM (subprocess) so the two
+parallelism levels don't share a SparkContext.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CORPUS_PATH = os.environ.get(
+    "SPARK_GRAFT_BENCH_CORPUS", "/tmp/sps_bench/pages.parquet"
+)
+N_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "48"))
+PAGES_PER_HOST = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "192"))
+LINKS_PER_PAGE = int(os.environ.get("SPARK_GRAFT_BENCH_LINKS", "60"))
+
+HEADLINE = [
+    "politeness_topk",
+    "fifo_batch",
+    "anti_join_seen",
+    "first_writer_dedup",
+    "fetch_join",
+    "per_page_counts",
+    "frontier_stats",
+    "tpch_q1_like",
+    "tpch_q3_like",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "text_langid",
+    "knn_bruteforce",
+    "knn_lsh",
+]
+
+
+def make_spark(cores: int, app: str):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(max(32, 2 * cores)))
+        .config("spark.default.parallelism", str(max(32, 2 * cores)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+# ---------------------------------------------------------------------------
+# crawl run (subprocess mode)
+# ---------------------------------------------------------------------------
+
+def crawl_run(cores: int) -> dict:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from scrapy_playwright_scrapegraphai_spark.plans.driver import (
+        CrawlConfig,
+        CrawlEngine,
+    )
+    from scrapy_playwright_scrapegraphai_spark.sources.bench_corpus import (
+        bench_seeds_and_robots,
+    )
+    from scrapy_playwright_scrapegraphai_spark.sources.synth import (
+        ROBOTS_DDL,
+        SEEDS_DDL,
+    )
+
+    spark = make_spark(cores, f"sps-crawl-{cores}")
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = spark.read.parquet(CORPUS_PATH)
+    seeds_rows, robots_rows = bench_seeds_and_robots(N_HOSTS)
+    seeds = spark.createDataFrame(
+        [tuple(s.values()) for s in seeds_rows], SEEDS_DDL
+    )
+    robots = spark.createDataFrame(
+        [tuple(r.values()) for r in robots_rows], ROBOTS_DDL
+    )
+    ckpt = tempfile.mkdtemp(prefix=f"sps_bench_ckpt_{cores}_")
+    cfg = CrawlConfig(
+        superstep_seconds=1e6,  # politeness budget ≫ frontier → max admission
+        expected_urls=2_000_000,
+        seq_mode="ranged",
+        profile=os.environ.get("SPARK_GRAFT_PROFILE", "") == "1",
+    )
+    t0 = time.monotonic()
+    result = CrawlEngine(spark, pages, seeds, robots, ckpt, cfg).run()
+    wall = time.monotonic() - t0
+
+    frontier = result.frontier
+    n_rows = frontier.count()
+    fetched = frontier.filter(F.col("url_state") == "processed").count()
+    # order-independent exact checksum over (seq, url, state, depth);
+    # pmod keeps the ANSI-mode sum far from long overflow
+    checksum = frontier.select(
+        F.sum(
+            F.pmod(
+                F.xxhash64(
+                    F.col("discovery_seq"), F.col("url"), F.col("url_state"),
+                    F.col("depth"),
+                ),
+                F.lit(2**31),
+            )
+        ).alias("c")
+    ).collect()[0]["c"]
+    metrics = [r.asDict() for r in result.metrics.orderBy("superstep").collect()]
+    spark.stop()
+    return {
+        "cores": cores,
+        "wall_s": wall,
+        "frontier_rows": n_rows,
+        "fetched_pages": fetched,
+        "urls_per_sec": (n_rows + fetched) / wall,
+        "checksum": checksum,
+        "supersteps": len(metrics),
+        "superstep_wall_s": [round(m["wall_time_s"], 2) for m in metrics],
+    }
+
+
+# ---------------------------------------------------------------------------
+# main
+# ---------------------------------------------------------------------------
+
+def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--crawl-run":
+        print("CRAWLJSON:" + json.dumps(crawl_run(int(sys.argv[2]))))
+        return
+
+    out: dict = {"sf": SF_DIR, "unit": "urls/sec"}
+
+    # 1) headline operator queries at sf dir
+    from scrapy_playwright_scrapegraphai_spark import entry_queries as EQ
+
+    spark = make_spark(CPUS, "sps-bench-queries")
+    spark.sparkContext.setLogLevel("ERROR")
+    qtimes: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = EQ.QUERIES[name]
+        t0 = time.monotonic()
+        n = fn(spark, SF_DIR).count()
+        qtimes[name] = round(time.monotonic() - t0, 3)
+        print(f"# query {name}: {qtimes[name]}s ({n} rows)", file=sys.stderr)
+    spark.stop()
+    out["queries"] = qtimes
+
+    # 2) bench corpus (generated once, reused by both crawl runs)
+    from scrapy_playwright_scrapegraphai_spark.sources.bench_corpus import (
+        generate_bench_corpus,
+    )
+
+    t0 = time.monotonic()
+    facts = generate_bench_corpus(
+        CORPUS_PATH, N_HOSTS, PAGES_PER_HOST, LINKS_PER_PAGE
+    )
+    print(
+        f"# corpus: {facts['rows']} pages "
+        f"(regen={facts['regenerated']}, {time.monotonic()-t0:.1f}s)",
+        file=sys.stderr,
+    )
+
+    # 3) crawl throughput at local[8] vs local[CPUS] — fresh JVM each
+    runs = {}
+    for cores in (8, CPUS):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--crawl-run", str(cores)],
+            capture_output=True, text=True, cwd=REPO,
+            env={**os.environ, "SPARK_GRAFT_BENCH_CORPUS": CORPUS_PATH},
+        )
+        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("CRAWLJSON:")]
+        if not line:
+            print(proc.stdout[-2000:], file=sys.stderr)
+            print(proc.stderr[-4000:], file=sys.stderr)
+            raise RuntimeError(f"crawl run at {cores} cores failed")
+        runs[cores] = json.loads(line[-1][len("CRAWLJSON:"):])
+        print(f"# crawl local[{cores}]: {runs[cores]['wall_s']:.1f}s "
+              f"{runs[cores]['urls_per_sec']:.0f} urls/s", file=sys.stderr)
+
+    r8, rN = runs[8], runs[CPUS]
+    assert r8["checksum"] == rN["checksum"], (
+        "seen-set/ordering mismatch across parallelism levels!"
+    )
+    assert r8["frontier_rows"] == rN["frontier_rows"]
+    speedup = rN["urls_per_sec"] / r8["urls_per_sec"]
+    efficiency = speedup / (CPUS / 8)
+    out["scaling"] = {
+        "cores_low": 8,
+        "cores_high": CPUS,
+        "urls_per_sec_low": round(r8["urls_per_sec"], 1),
+        "urls_per_sec_high": round(rN["urls_per_sec"], 1),
+        "wall_s_low": round(r8["wall_s"], 2),
+        "wall_s_high": round(rN["wall_s"], 2),
+        "speedup": round(speedup, 3),
+        "efficiency": round(efficiency, 3),
+        "identical_seen_set_and_ordering": True,
+        "frontier_rows": rN["frontier_rows"],
+        "fetched_pages": rN["fetched_pages"],
+        "supersteps": rN["supersteps"],
+        "superstep_wall_s_high": rN["superstep_wall_s"],
+    }
+    out["metric"] = f"crawl_urls_per_sec_local{CPUS}"
+    out["value"] = round(rN["urls_per_sec"], 1)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

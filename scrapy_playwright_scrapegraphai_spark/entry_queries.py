@@ -1,0 +1,812 @@
+"""Driver-contract queries: one entry per implemented operator family
+(SURVEY.md §2) expressed over the driver testdata tables, each paired
+with an ANSI-SQL oracle DuckDB runs on the same parquet.
+
+Numeric discipline (so the order-insensitive value-hash comparison can't
+be tripped by floating point): every aggregated/compared numeric is
+either an integer (counts, floor-quantized cents/per-mille) or a string
+(md5). ``floor(x * scale)`` of the same IEEE double is bit-identical in
+Spark and DuckDB; sums of the resulting integers are exact. Timestamps
+are surfaced as epoch bigints (both engines treat the parquet TIMESTAMP
+as UTC; sandbox TZ is UTC).
+
+Spark implementations use the DataFrame API (never spark.sql) and reuse
+the engine's operators where the semantics coincide; each docstring
+names the SURVEY.md §2 operator it witnesses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import text as T
+from .operators import dedup as D
+from .operators import similarity as S
+from .sources.tables import load_table
+
+
+def _t(spark, sf, name):
+    return load_table(spark, sf, name)
+
+
+def _cents(col) -> "F.Column":
+    return F.floor(col * F.lit(100.0)).cast("long")
+
+
+# ===========================================================================
+# W2 — flagship: per-host politeness admission (two-phase salted top-k)
+# ===========================================================================
+
+def q_politeness_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """W2 (settings.py:34-35,77-78): events ≙ pending frontier rows,
+    user_id ≙ main_domain, (ts, event_id) ≙ discovery order; budget 3
+    per host. Two-phase salted ranking (operators/politeness.py
+    pattern) — phase 1 over (host, salt) defuses skew, phase 2 exact."""
+    ev = _t(spark, sf, "events")
+    salted = ev.withColumn("_salt", F.pmod(F.xxhash64(F.col("event_id")), F.lit(8)))
+    w1 = Window.partitionBy("user_id", "_salt").orderBy("ts", "event_id")
+    surv = salted.withColumn("_r1", F.row_number().over(w1)).filter(F.col("_r1") <= 3)
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        surv.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= 3)
+        .select("user_id", "event_id", "rank")
+    )
+
+
+SQL_POLITENESS_TOPK = """
+SELECT user_id, event_id, rank FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rank
+  FROM events
+) WHERE rank <= 3
+"""
+
+
+# ===========================================================================
+# W1 / W3 — FIFO batch + generic order/limit/offset
+# ===========================================================================
+
+def q_fifo_batch(spark, sf):
+    """W1 (queries.sql:58-63): oldest-first LIMIT batch of pending work."""
+    return (
+        _t(spark, sf, "events")
+        .orderBy("ts", "event_id")
+        .limit(100)
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+SQL_FIFO_BATCH = """
+SELECT event_id, user_id, event_type FROM events ORDER BY ts, event_id LIMIT 100
+"""
+
+
+def q_order_limit_offset(spark, sf):
+    """W3 (basic_crud.py:269-277): ORDER BY .. LIMIT .. OFFSET builder."""
+    return (
+        _t(spark, sf, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .offset(10)
+        .limit(50)
+        .select("o_orderkey", _cents(F.col("o_totalprice")).alias("total_cents"))
+    )
+
+
+SQL_ORDER_LIMIT_OFFSET = """
+SELECT o_orderkey, CAST(floor(o_totalprice * 100.0) AS BIGINT) AS total_cents
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 50 OFFSET 10
+"""
+
+
+# ===========================================================================
+# J1 / J2 / J3 / J6 — joins & dedup discipline
+# ===========================================================================
+
+def q_anti_join_seen(spark, sf):
+    """J1 (pipelines.py:72-111): left-anti existence check — customers
+    that never appear in orders ≙ URLs not in the seen set."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    return cust.join(orders.select("o_custkey").distinct(),
+                     cust.c_custkey == F.col("o_custkey"), "left_anti") \
+               .select("c_custkey", "c_name")
+
+
+SQL_ANTI_JOIN_SEEN = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_first_writer_dedup(spark, sf):
+    """J2 (queries.sql:56, schema.sql:30): ON CONFLICT DO NOTHING ≙
+    first-writer-wins per key under deterministic insertion order."""
+    ev = _t(spark, sf, "events")
+    from .operators.frontier import first_writer_dedup
+
+    return first_writer_dedup(
+        ev, order_cols=["ts", "event_id"], key_cols=["user_id", "event_type"]
+    ).select("user_id", "event_type", F.col("event_id").alias("first_event_id"))
+
+
+SQL_FIRST_WRITER_DEDUP = """
+SELECT user_id, event_type, event_id AS first_event_id FROM (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_fetch_join(spark, sf):
+    """J3 (frontier_spider.py:77-91): frontier×pages lookup join ≙
+    orders×customer equi-join (broadcast small dim)."""
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    return orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey) \
+                 .select("o_orderkey", "c_mktsegment")
+
+
+SQL_FETCH_JOIN = """
+SELECT o_orderkey, c_mktsegment FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_state_upsert_latest(spark, sf):
+    """J6 (queries.sql:21-28 ON CONFLICT DO UPDATE): MERGE-materialized
+    per-key latest state — last event per user wins."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                              F.col("event_id").desc())
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", F.col("event_id").alias("last_event_id"),
+                F.col("event_type").alias("last_type"))
+    )
+
+
+SQL_STATE_UPSERT_LATEST = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# ===========================================================================
+# A1 / A2 / A3 / A4 — aggregations
+# ===========================================================================
+
+def q_per_page_counts(spark, sf):
+    """A1 (frontier_spider.py:238-243): per-parent target/seed counts ≙
+    per-user click/view counts (conditional hash aggregate)."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "click_count"
+        ),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "view_count"
+        ),
+        F.count("*").alias("total_count"),
+    )
+
+
+SQL_PER_PAGE_COUNTS = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_count,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)  AS view_count,
+       count(*) AS total_count
+FROM events GROUP BY user_id
+"""
+
+
+def q_frontier_stats(spark, sf):
+    """A2 (frontier_crud.py:142-184): per-category statistics — counts,
+    conditional counts, COUNT(DISTINCT), MAX, epoch bounds as bigints."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("total_urls"),
+        F.countDistinct("user_id").alias("distinct_domains"),
+        F.sum(F.when(F.col("value") >= 5.0, 1).otherwise(0)).alias("high_value"),
+        F.max(_cents(F.col("value"))).alias("max_value_cents"),
+        F.min(F.unix_timestamp("ts")).alias("first_epoch"),
+        F.max(F.unix_timestamp("ts")).alias("last_epoch"),
+    )
+
+
+SQL_FRONTIER_STATS = """
+SELECT event_type,
+       count(*) AS total_urls,
+       count(DISTINCT user_id) AS distinct_domains,
+       CAST(sum(CASE WHEN value >= 5.0 THEN 1 ELSE 0 END) AS BIGINT) AS high_value,
+       max(CAST(floor(value * 100.0) AS BIGINT)) AS max_value_cents,
+       CAST(floor(min(epoch(ts))) AS BIGINT) AS first_epoch,
+       CAST(floor(max(epoch(ts))) AS BIGINT) AS last_epoch
+FROM events GROUP BY event_type
+"""
+
+
+def q_global_processing_stats(spark, sf):
+    """A3 (config_url_log_crud.py:172-195): global rollup with exact
+    integer sums + floor-average."""
+    o = _t(spark, sf, "orders")
+    cents = _cents(F.col("o_totalprice"))
+    return o.agg(
+        F.count("*").alias("total_rows"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+            "completed"
+        ),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("pending"),
+        F.sum(cents).alias("sum_cents"),
+        F.max(cents).alias("max_cents"),
+        F.floor(F.sum(cents) / F.count("*")).cast("long").alias("avg_cents_floor"),
+    )
+
+
+SQL_GLOBAL_PROCESSING_STATS = """
+SELECT count(*) AS total_rows,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS completed,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS pending,
+       CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents,
+       max(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS max_cents,
+       CAST(floor(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) * 1.0
+                  / count(*)) AS BIGINT) AS avg_cents_floor
+FROM orders
+"""
+
+
+def q_counter_rollup(spark, sf):
+    """A4 (queries.sql:106-117): accumulate-counters rollup per root ≙
+    per (nation, mktsegment) customer counts + acctbal cents."""
+    c = _t(spark, sf, "customer")
+    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(_cents(F.col("c_acctbal"))).alias("sum_acctbal_cents"),
+    )
+
+
+SQL_COUNTER_ROLLUP = """
+SELECT c_nationkey, c_mktsegment, count(*) AS n_customers,
+       CAST(sum(CAST(floor(c_acctbal * 100.0) AS BIGINT)) AS BIGINT) AS sum_acctbal_cents
+FROM customer GROUP BY c_nationkey, c_mktsegment
+"""
+
+
+# ===========================================================================
+# P2/P3/P6, F3/F4/F6/F9 — filters, predicates, scalar functions
+# ===========================================================================
+
+def q_pattern_substring_filter(spark, sf):
+    """P3 substring arm / F3 (url_utils.py:20): case-insensitive
+    containment."""
+    d = _t(spark, sf, "documents")
+    return d.filter(F.lower(F.col("text")).contains("spark")).select(
+        "doc_id", "lang"
+    )
+
+
+SQL_PATTERN_SUBSTRING_FILTER = """
+SELECT doc_id, lang FROM documents WHERE lower(text) LIKE '%spark%'
+"""
+
+
+def q_pattern_regex_filter(spark, sf):
+    """P3 regex arm / F4 (url_utils.py:24): re.search semantics (common
+    Java/RE2 subset)."""
+    p = _t(spark, sf, "part")
+    return p.filter(F.col("p_name").rlike("(gear|bolt)$")).select(
+        "p_partkey", "p_name"
+    )
+
+
+SQL_PATTERN_REGEX_FILTER = """
+SELECT p_partkey, p_name FROM part WHERE regexp_matches(p_name, '(gear|bolt)$')
+"""
+
+
+def q_pattern_dual_filter(spark, sf):
+    """P3 full dual semantics (url_utils.py:14-24): substring-first OR
+    regex — the reference's target-classification predicate shape."""
+    d = _t(spark, sf, "documents")
+    return d.filter(
+        F.lower(F.col("text")).contains("merge")
+        | F.col("text").rlike("stream [a-z]+ batch")
+    ).select("doc_id", "source")
+
+
+SQL_PATTERN_DUAL_FILTER = """
+SELECT doc_id, source FROM documents
+WHERE lower(text) LIKE '%merge%' OR regexp_matches(text, 'stream [a-z]+ batch')
+"""
+
+
+def q_depth_gate(spark, sf):
+    """P6 (crawl_manager_utils.py:24-52): type/depth-dependent admission
+    predicate shape — per-type value gates."""
+    ev = _t(spark, sf, "events")
+    return ev.filter(
+        ((F.col("event_type") == "click") & (F.col("value") >= 1.0))
+        | ((F.col("event_type") == "view") & (F.col("value") < 5.0))
+    ).select("event_id", "event_type")
+
+
+SQL_DEPTH_GATE = """
+SELECT event_id, event_type FROM events
+WHERE (event_type = 'click' AND value >= 1.0)
+   OR (event_type = 'view'  AND value < 5.0)
+"""
+
+
+def q_case_state(spark, sf):
+    """F9 (queries.sql:66-74): CASE state expression."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "P", "pending")
+        .when(F.col("o_orderstatus") == "O", "processed")
+        .otherwise("failed")
+        .alias("url_state"),
+    )
+
+
+SQL_CASE_STATE = """
+SELECT o_orderkey,
+       CASE WHEN o_orderstatus = 'P' THEN 'pending'
+            WHEN o_orderstatus = 'O' THEN 'processed'
+            ELSE 'failed' END AS url_state
+FROM orders
+"""
+
+
+def q_duration_epoch(spark, sf):
+    """F6 (queries.sql:113-116): EXTRACT(EPOCH FROM end-start) — seconds
+    since the first event, as bigint."""
+    ev = _t(spark, sf, "events")
+    t0 = ev.agg(F.min(F.unix_timestamp("ts"))).collect()[0][0]
+    return ev.select(
+        "event_id",
+        (F.unix_timestamp("ts") - F.lit(t0)).cast("long").alias("elapsed_s"),
+    )
+
+
+SQL_DURATION_EPOCH = """
+SELECT event_id,
+       CAST(floor(epoch(ts)) -
+            (SELECT floor(min(epoch(ts))) FROM events) AS BIGINT) AS elapsed_s
+FROM events
+"""
+
+
+def q_union_targets_seeds(spark, sf):
+    """U1 (crawl_manager_utils.py:40-41): targets ∪ seeds with flag."""
+    ev = _t(spark, sf, "events")
+    targets = ev.filter(F.col("event_type") == "click").select(
+        "event_id", F.lit(True).alias("is_target")
+    )
+    seeds = ev.filter(F.col("event_type") == "view").select(
+        "event_id", F.lit(False).alias("is_target")
+    )
+    return targets.unionByName(seeds)
+
+
+SQL_UNION_TARGETS_SEEDS = """
+SELECT event_id, TRUE AS is_target FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT event_id, FALSE AS is_target FROM events WHERE event_type = 'view'
+"""
+
+
+def q_hash_partition_assign(spark, sf):
+    """F11 / seen-set sharding (SURVEY.md §2.7): portable content-hash
+    shard assignment (md5 prefix ≙ xxhash64 pmod at cluster scale)."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.withColumn("shard", F.substring(F.md5(F.col("text")), 1, 1))
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+SQL_HASH_PARTITION_ASSIGN = """
+SELECT substring(md5(text), 1, 1) AS shard, count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+# ===========================================================================
+# Headline scan-heavy aggregates (bench anchors)
+# ===========================================================================
+
+def q_tpch_q1_like(spark, sf):
+    """TPC-H Q1-shaped pricing summary (integer-exact cents)."""
+    l = _t(spark, sf, "lineitem")
+    disc_cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100.0)
+    ).cast("long")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.floor(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(disc_cents).alias("sum_disc_cents"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1_LIKE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT))
+            AS BIGINT) AS sum_disc_cents,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3_like(spark, sf):
+    """TPC-H Q3-shaped join + agg + top-k (shuffle-join headline)."""
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    rev = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100.0)
+    ).cast("long")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(F.sum(rev).alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q3_LIKE = """
+SELECT l_orderkey,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue_cents DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# ===========================================================================
+# Dedup suite (training-data pipeline)
+# ===========================================================================
+
+def q_dedup_exact(spark, sf):
+    """Exact dedup: hash-groupBy, first-writer canonical id."""
+    d = _t(spark, sf, "documents")
+    return D.exact_dedup_groups(d).select(
+        F.md5(F.col("text")).alias("fp"), "canonical_id", "n_copies"
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS fp, min(doc_id) AS canonical_id, count(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    """Exact 3-gram Jaccard ≥ 0.5 near-dup pairs — integer inequality,
+    no FP (operators/dedup.py:ngram_jaccard_pairs)."""
+    d = _t(spark, sf, "documents")
+    return D.ngram_jaccard_pairs(d, n=3, threshold_num=1, threshold_den=2).select(
+        "doc_a", "doc_b", "shared", "n_a", "n_b"
+    )
+
+
+SQL_DEDUP_NGRAM_JACCARD = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), shingled AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[i:i+2], ' ') AS sh
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+  WHERE len(t) >= 3
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(t, ' ') AS sh FROM toks WHERE len(t) < 3
+), counts AS (
+  SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM shingled a JOIN shingled b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared, ca.n_sh AS n_a, cb.n_sh AS n_b
+FROM shared
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE 2 * shared >= 1 * (ca.n_sh + cb.n_sh - shared)
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    """MinHash+LSH candidate pairs (sketch — not SQL-expressible with a
+    portable hash; pytest verifies recall vs exact Jaccard). Rows-only
+    driver check."""
+    d = _t(spark, sf, "documents")
+    return D.minhash_lsh_candidates(d, num_hashes=64, bands=16, shingle_n=3)
+
+
+def q_dedup_simhash(spark, sf):
+    """SimHash banded hamming≤3 pairs (sketch; pytest-verified). Rows-only
+    driver check."""
+    d = _t(spark, sf, "documents")
+    return D.simhash_candidates(d, max_hamming=3, shingle_n=1)
+
+
+# ===========================================================================
+# Similarity search
+# ===========================================================================
+
+def q_knn_bruteforce(spark, sf):
+    """Exact top-5 neighbors by integer-quantized dot product for the
+    first 10 vectors (operators/similarity.py:knn_bruteforce)."""
+    e = _t(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.knn_bruteforce(e, queries, k=5)
+
+
+SQL_KNN_BRUTEFORCE = """
+WITH q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(floor(x * 1000.0) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS neighbor_id,
+         list_transform(embedding, x -> CAST(floor(x * 1000.0) AS BIGINT)) AS cv
+  FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id,
+         CAST(list_dot_product(qv, cv) AS BIGINT) AS dot
+  FROM q CROSS JOIN c
+)
+SELECT query_id, neighbor_id, dot, rank FROM (
+  SELECT query_id, neighbor_id, dot,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_embedding_dup_pairs(spark, sf):
+    """Embedding near-dups: quantized cosine ≥ 0.9 via pure int64
+    inequality (operators/similarity.py:cosine_dup_pairs)."""
+    e = _t(spark, sf, "embeddings")
+    return S.cosine_dup_pairs(e, threshold_num=9, threshold_den=10)
+
+
+SQL_EMBEDDING_DUP_PAIRS = """
+WITH v AS (
+  SELECT vec_id AS vid,
+         list_transform(embedding, x -> CAST(floor(x * 1000.0) AS BIGINT)) AS qv
+  FROM embeddings
+), n AS (
+  SELECT vid, qv, CAST(list_dot_product(qv, qv) AS BIGINT) AS nn FROM v
+)
+SELECT a.vid AS id_a, b.vid AS id_b,
+       CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot,
+       a.nn AS n_a, b.nn AS n_b
+FROM n a JOIN n b ON a.vid < b.vid
+WHERE CAST(list_dot_product(a.qv, b.qv) AS BIGINT) > 0
+  AND 100 * CAST(list_dot_product(a.qv, b.qv) AS BIGINT)
+          * CAST(list_dot_product(a.qv, b.qv) AS BIGINT)
+      >= 81 * a.nn * b.nn
+"""
+
+
+def q_knn_lsh(spark, sf):
+    """Approximate top-5 via random-hyperplane LSH buckets — the 10^9-vector
+    scale path (recall pytest-verified vs brute force). Rows-only check."""
+    e = _t(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.knn_lsh(e, queries, k=5, num_planes=4)
+
+
+# ===========================================================================
+# Text analytics
+# ===========================================================================
+
+def q_text_tokens(spark, sf):
+    """Token counting (whitespace discipline shared with the oracle)."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count_expr(F.col("text")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+SQL_TEXT_TOKENS = r"""
+SELECT doc_id,
+       CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_actual
+FROM documents
+"""
+
+
+def q_text_quality(spark, sf):
+    """Quality features: integer per-mille ratios."""
+    d = _t(spark, sf, "documents")
+    feats = T.quality_features_expr(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars_m"),
+        feats["punct_per_mille"].alias("punct_pm"),
+        feats["digit_per_mille"].alias("digit_pm"),
+        feats["space_per_mille"].alias("space_pm"),
+    )
+
+
+SQL_TEXT_QUALITY = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_m,
+       CASE WHEN length(text) > 0 THEN CAST(floor(1000 * (length(text) -
+            length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0
+            / length(text)) AS BIGINT) ELSE 0 END AS punct_pm,
+       CASE WHEN length(text) > 0 THEN CAST(floor(1000 * (length(text) -
+            length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0
+            / length(text)) AS BIGINT) ELSE 0 END AS digit_pm,
+       CASE WHEN length(text) > 0 THEN CAST(floor(1000 * (length(text) -
+            length(regexp_replace(text, ' ', '', 'g'))) * 1.0
+            / length(text)) AS BIGINT) ELSE 0 END AS space_pm
+FROM documents
+"""
+
+
+def _sql_stopword_count(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS[lang])
+    return (
+        "len(list_filter(string_split(lower(text), ' '), "
+        f"t -> t IN ({words})))"
+    )
+
+
+def q_text_langid(spark, sf):
+    """Heuristic language-ID: stopword-hit argmax (integer scores,
+    deterministic tie-break en ≥ it ≥ de, 'und' when all zero)."""
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", T.lang_id_expr(F.col("text")).alias("lang_guess"))
+
+
+SQL_TEXT_LANGID = f"""
+SELECT doc_id,
+       CASE WHEN en = 0 AND it = 0 AND de = 0 THEN 'und'
+            WHEN en >= it AND en >= de THEN 'en'
+            WHEN it >= de THEN 'it'
+            ELSE 'de' END AS lang_guess
+FROM (
+  SELECT doc_id,
+         {_sql_stopword_count('en')} AS en,
+         {_sql_stopword_count('it')} AS it,
+         {_sql_stopword_count('de')} AS de
+  FROM documents
+)
+"""
+
+
+def q_text_fingerprint(spark, sf):
+    """Document fingerprinting (portable md5 content hash)."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        T.fingerprint_md5_expr(F.col("text")).alias("fp"),
+        F.octet_length("text").cast("long").alias("byte_len"),
+    )
+
+
+SQL_TEXT_FINGERPRINT = """
+SELECT doc_id, md5(text) AS fp, CAST(strlen(text) AS BIGINT) AS byte_len
+FROM documents
+"""
+
+
+def q_lang_distribution(spark, sf):
+    """Scan + group (S-ops): corpus language histogram."""
+    d = _t(spark, sf, "documents")
+    return d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
+SQL_LANG_DISTRIBUTION = """
+SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+"""
+
+
+# ===========================================================================
+# registry
+# ===========================================================================
+
+QUERIES = {
+    "politeness_topk": q_politeness_topk,
+    "fifo_batch": q_fifo_batch,
+    "order_limit_offset": q_order_limit_offset,
+    "anti_join_seen": q_anti_join_seen,
+    "first_writer_dedup": q_first_writer_dedup,
+    "fetch_join": q_fetch_join,
+    "state_upsert_latest": q_state_upsert_latest,
+    "per_page_counts": q_per_page_counts,
+    "frontier_stats": q_frontier_stats,
+    "global_processing_stats": q_global_processing_stats,
+    "counter_rollup": q_counter_rollup,
+    "pattern_substring_filter": q_pattern_substring_filter,
+    "pattern_regex_filter": q_pattern_regex_filter,
+    "pattern_dual_filter": q_pattern_dual_filter,
+    "depth_gate": q_depth_gate,
+    "case_state": q_case_state,
+    "duration_epoch": q_duration_epoch,
+    "union_targets_seeds": q_union_targets_seeds,
+    "hash_partition_assign": q_hash_partition_assign,
+    "tpch_q1_like": q_tpch_q1_like,
+    "tpch_q3_like": q_tpch_q3_like,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "knn_bruteforce": q_knn_bruteforce,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "knn_lsh": q_knn_lsh,
+    "text_tokens": q_text_tokens,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "lang_distribution": q_lang_distribution,
+}
+
+ORACLE_SQL = {
+    "politeness_topk": SQL_POLITENESS_TOPK,
+    "fifo_batch": SQL_FIFO_BATCH,
+    "order_limit_offset": SQL_ORDER_LIMIT_OFFSET,
+    "anti_join_seen": SQL_ANTI_JOIN_SEEN,
+    "first_writer_dedup": SQL_FIRST_WRITER_DEDUP,
+    "fetch_join": SQL_FETCH_JOIN,
+    "state_upsert_latest": SQL_STATE_UPSERT_LATEST,
+    "per_page_counts": SQL_PER_PAGE_COUNTS,
+    "frontier_stats": SQL_FRONTIER_STATS,
+    "global_processing_stats": SQL_GLOBAL_PROCESSING_STATS,
+    "counter_rollup": SQL_COUNTER_ROLLUP,
+    "pattern_substring_filter": SQL_PATTERN_SUBSTRING_FILTER,
+    "pattern_regex_filter": SQL_PATTERN_REGEX_FILTER,
+    "pattern_dual_filter": SQL_PATTERN_DUAL_FILTER,
+    "depth_gate": SQL_DEPTH_GATE,
+    "case_state": SQL_CASE_STATE,
+    "duration_epoch": SQL_DURATION_EPOCH,
+    "union_targets_seeds": SQL_UNION_TARGETS_SEEDS,
+    "hash_partition_assign": SQL_HASH_PARTITION_ASSIGN,
+    "tpch_q1_like": SQL_TPCH_Q1_LIKE,
+    "tpch_q3_like": SQL_TPCH_Q3_LIKE,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    # dedup_minhash_lsh, dedup_simhash, knn_lsh: sketches with
+    # non-portable hashes — rows-only driver check; pytest verifies
+    # recall against the exact operators.
+    "knn_bruteforce": SQL_KNN_BRUTEFORCE,
+    "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
+    "text_tokens": SQL_TEXT_TOKENS,
+    "text_quality": SQL_TEXT_QUALITY,
+    "text_langid": SQL_TEXT_LANGID,
+    "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "lang_distribution": SQL_LANG_DISTRIBUTION,
+}

@@ -1,0 +1,121 @@
+"""Text-analytics expression builders for web-text pipelines.
+
+All hot-path functions are pure JVM expressions (whole-stage codegen,
+oracle-expressible in ANSI SQL); only the rolling-hash fingerprint needs
+an Arrow UDF. Numeric outputs are integers or integer-ratio doubles
+(single IEEE division of two exact ints — bit-identical across engines).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+# Small fixed stopword lists for the lang-id heuristic (shared with the
+# SQL oracle — keep in sync with entry_queries._LANG_STOPWORDS).
+LANG_STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in", "is", "it", "for", "on", "with"],
+    "it": ["il", "di", "e", "che", "in", "per", "con", "una", "del", "la"],
+    "de": ["der", "die", "das", "und", "ist", "mit", "für", "auf", "ein", "zu"],
+}
+
+
+def tokens_expr(text) -> Column:
+    """Whitespace tokenization: trim + split on runs of whitespace."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count_expr(text) -> Column:
+    return F.size(tokens_expr(text))
+
+
+def char_class_count_expr(text, char_class: str) -> Column:
+    """Count of chars matching a regex class — computed as
+    len(text) - len(regexp_replace(text, class, ''))  (integer-exact)."""
+    return F.length(text) - F.length(F.regexp_replace(text, char_class, ""))
+
+
+def stopword_count_expr(text, stopwords: list[str]) -> Column:
+    toks = F.split(F.lower(text), " ")
+    arr = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def quality_features_expr(text) -> dict[str, Column]:
+    """Quality-scoring features: lengths and class counts (ints) plus
+    per-mille ratios (floor of 1000*count/len — integer-exact)."""
+    n_chars = F.length(text)
+    punct = char_class_count_expr(text, r"[.,;:!?]")
+    digits = char_class_count_expr(text, r"[0-9]")
+    upper = char_class_count_expr(text, r"[A-Z]")
+    spaces = char_class_count_expr(text, r" ")
+    per_mille = lambda c: F.when(
+        n_chars > 0, F.floor(F.lit(1000) * c / n_chars)
+    ).otherwise(F.lit(0)).cast("long")
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": token_count_expr(text).cast("long"),
+        "punct_per_mille": per_mille(punct),
+        "digit_per_mille": per_mille(digits),
+        "upper_per_mille": per_mille(upper),
+        "space_per_mille": per_mille(spaces),
+    }
+
+
+def lang_id_expr(text) -> Column:
+    """N-gram-free language-ID heuristic: argmax of stopword hits over
+    fixed lists; deterministic tie-break en ≥ it ≥ de, 'und' (undetermined)
+    when no list scores > 0."""
+    scores = {
+        lang: stopword_count_expr(text, words)
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    en, it, de = scores["en"], scores["it"], scores["de"]
+    return (
+        F.when((en == 0) & (it == 0) & (de == 0), F.lit("und"))
+        .when((en >= it) & (en >= de), F.lit("en"))
+        .when(it >= de, F.lit("it"))
+        .otherwise(F.lit("de"))
+    )
+
+
+def fingerprint_md5_expr(text) -> Column:
+    """Content fingerprint (portable: identical md5 in every engine)."""
+    return F.md5(text)
+
+
+@pandas_udf(LongType())
+def rolling_fingerprint_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """64-bit polynomial rolling hash over UTF-8 bytes (mod 2^61-1) — the
+    document-fingerprint variant used when incremental / windowed hashing
+    matters (e.g. prefix dedup). Arrow-batched; no SQL oracle (the driver
+    records a rows-only check)."""
+    M = (1 << 61) - 1
+    B = 1_000_003
+    for texts in it:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            h = 0
+            for byte in t.encode("utf-8"):
+                h = (h * B + byte) % M
+            out.append(h)
+        yield pd.Series(out, dtype="object")
+
+
+def blake2_fingerprint(text: str) -> int:
+    """Pure-Python reference for tests."""
+    M = (1 << 61) - 1
+    B = 1_000_003
+    h = 0
+    for byte in text.encode("utf-8"):
+        h = (h * B + byte) % M
+    return h

@@ -78,24 +78,22 @@ class BloomShards:
     def add_df(self, df: DataFrame, url_col: str = "url") -> None:
         """OR the URLs of ``df`` into the shards.
 
-        Builds per-partition delta bitmaps executor-side (Arrow batches via
-        mapInPandas) and ORs the P small blobs driver-side — the per-URL
-        work is distributed; only num_shards blobs travel.
+        Shuffles URLs by shard key and builds ONE delta bitmap per shard
+        executor-side (groupBy + applyInPandas) — exactly ``num_shards``
+        blobs travel to the driver, independent of input partitioning.
+        (A per-input-partition variant collected partitions × shards blobs
+        — 100+ MB per superstep at 64 partitions — and anti-scaled.)
         """
         num_shards, bits, k = self.num_shards, self.bits, self.k
         nbytes = self.bitmaps[0].nbytes
 
-        def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            local = {}
-            for pdf in batches:
-                for url, shard in zip(pdf["u"], pdf["s"]):
-                    bm = local.get(shard)
-                    if bm is None:
-                        bm = local[shard] = np.zeros(nbytes, dtype=np.uint8)
-                    for pos in _bit_positions(url, bits, k):
-                        bm[pos >> 3] |= 1 << (pos & 7)
-            yield pd.DataFrame(
-                {"shard": list(local), "blob": [bm.tobytes() for bm in local.values()]}
+        def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+            bm = np.zeros(nbytes, dtype=np.uint8)
+            for url in pdf["u"]:
+                for pos in _bit_positions(url, bits, k):
+                    bm[pos >> 3] |= 1 << (pos & 7)
+            return pd.DataFrame(
+                {"shard": [int(pdf["s"].iloc[0])], "blob": [bm.tobytes()]}
             )
 
         deltas = (
@@ -103,7 +101,8 @@ class BloomShards:
                 F.col(url_col).alias("u"),
                 F.pmod(F.xxhash64(F.col(url_col)), F.lit(num_shards)).alias("s"),
             )
-            .mapInPandas(_build, "shard int, blob binary")
+            .groupBy("s")
+            .applyInPandas(_build, "shard int, blob binary")
             .collect()
         )
         for row in deltas:

@@ -70,6 +70,7 @@ class CrawlConfig:
     bloom_shards: int = 16
     expected_urls: int = 200_000     # bloom sizing hint
     max_supersteps: int = 1000
+    profile: bool = False            # print per-phase wall times to stderr
 
 
 @dataclass
@@ -169,8 +170,21 @@ class CrawlEngine:
         bloom = self._build_bloom(frontier)
         steps_run = 0
 
+        import sys
+
+        def _mkphase():
+            state = {"last": time.monotonic(), "acc": {}}
+
+            def mark(name):
+                now = time.monotonic()
+                state["acc"][name] = state["acc"].get(name, 0.0) + now - state["last"]
+                state["last"] = now
+
+            return state, mark
+
         while steps_run < max_steps:
             t0 = time.monotonic()
+            _pstate, _mark = _mkphase()
             work = frontier.filter(
                 (F.col("url_state") == "pending")
                 & (F.col("is_root") | ~F.col("is_target"))
@@ -180,6 +194,7 @@ class CrawlEngine:
                 break
             step += 1
             steps_run += 1
+            _mark("work_check")
 
             # W2 + J5: politeness admission & robots
             res = politeness.admit(
@@ -189,12 +204,14 @@ class CrawlEngine:
             denied = res.denied.cache()
             n_admitted, n_denied = admitted.count(), denied.count()
             n_work = work.count()
+            _mark("politeness")
 
             # J3: fetch join — admitted batch is politeness-bounded → broadcast
             page_content = self.pages.select("url", "html")
             ok = F.broadcast(admitted).join(page_content, on="url", how="inner")
             failed = admitted.join(page_content, on="url", how="left_anti").cache()
             n_failed = failed.count()
+            _mark("fetch_join")
 
             # K1 + P2–P6: extract + classify in one Arrow pass
             children = expand_pages(ok).withColumn(
@@ -221,8 +238,10 @@ class CrawlEngine:
             new_rows = finalize_new_rows(new, step).cache()
             n_new = new_rows.count()
             next_seq += n_new
+            _mark("expand_dedup_seq")
             if bloom is not None and n_new:
                 bloom.add_df(new_rows.select("url"))
+            _mark("bloom_add")
 
             # state transitions (F9 CASE semantics, queries.sql:66-74):
             # fetched → processed; missing page → retry then failed
@@ -311,6 +330,7 @@ class CrawlEngine:
                 METRICS_DDL,
             )
             metrics = metrics.unionByName(step_metrics)
+            _mark("metrics_lineage")
 
             # atomic snapshot commit; re-read to truncate lineage
             self.store.write_step(
@@ -323,6 +343,12 @@ class CrawlEngine:
             lineage = self.store.read_table(spark, step, "lineage")
             for df in (admitted, denied, failed, children, new_rows):
                 df.unpersist()
+            _mark("snapshot_write")
+            if cfg.profile:
+                phases = " ".join(
+                    f"{k}={v:.1f}s" for k, v in _pstate["acc"].items()
+                )
+                print(f"[profile] step {step}: {phases}", file=sys.stderr)
 
         return CrawlResult(frontier, metrics, lineage, steps_run,
                            resumed_from=latest)

@@ -1,0 +1,124 @@
+"""Large deterministic pages corpus for throughput benchmarking.
+
+Streams parquet via pyarrow (no driver-side createDataFrame of the whole
+corpus). Same page/link semantics as synth.py but sized for measuring the
+fetch-join → extract → classify → dedup pipeline throughput: many hosts,
+heavier pages (more anchors, more text), one mega-host for skew.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_WORDS = (
+    "the of and to in is it for on with page document archive report city "
+    "council public notice meeting budget plan street light data value"
+).split()
+
+
+def generate_bench_corpus(
+    path: str,
+    n_hosts: int = 64,
+    pages_per_host: int = 256,
+    links_per_page: int = 40,
+    mega_host_factor: int = 8,
+    seed: int = 42,
+    chunk_rows: int = 2000,
+) -> dict:
+    """Write pages parquet to ``path``; return corpus facts (row counts).
+
+    Deterministic; idempotent (skips regeneration if the manifest row
+    count matches).
+    """
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    rng = random.Random(seed)
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us")),
+            ("html", pa.binary()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+        ]
+    )
+    host_pages = {
+        h: pages_per_host * (mega_host_factor if h == 0 else 1)
+        for h in range(n_hosts)
+    }
+    total = sum(host_pages.values())
+    if os.path.exists(path):
+        try:
+            if pq.read_metadata(path).num_rows == total:
+                return {"rows": total, "path": path, "regenerated": False}
+        except Exception:
+            pass
+
+    import datetime as dt
+
+    epoch = dt.datetime(2024, 11, 15)
+    writer = pq.ParquetWriter(path, schema)
+    buf = {k: [] for k in ("url", "warc_ts", "html", "text", "lang")}
+    ts = 0
+
+    def flush():
+        if not buf["url"]:
+            return
+        writer.write_table(pa.table(buf, schema=schema))
+        for v in buf.values():
+            v.clear()
+
+    for h in range(n_hosts):
+        count = host_pages[h]
+        host = f"bench{h}.example.test"
+        for j in range(count):
+            parts = [f"<html><head><title>p{j} {host}</title></head><body>"]
+            words = " ".join(rng.choice(_WORDS) for _ in range(120))
+            parts.append(f"<p>{words}</p>")
+            for _ in range(links_per_page):
+                k = rng.randrange(count)
+                parts.append(f'<a href="/page/{k}">s{k}</a>')
+            for _ in range(4):
+                d = rng.randrange(10000)
+                parts.append(f'<a href="/files/doc{d}.pdf">t{d}</a>')
+            parts.append("</body></html>")
+            html = "".join(parts).encode()
+            buf["url"].append(f"https://{host}/page/{j}")
+            buf["warc_ts"].append(epoch + dt.timedelta(seconds=ts))
+            buf["html"].append(html)
+            buf["text"].append(words)  # bench corpus: text not parity-checked
+            buf["lang"].append("en")
+            ts += 1
+            if len(buf["url"]) >= chunk_rows:
+                flush()
+    flush()
+    writer.close()
+    return {"rows": total, "path": path, "regenerated": True}
+
+
+def bench_seeds_and_robots(n_hosts: int = 64):
+    seeds = [
+        {
+            "url_seed_root_id": h,
+            "category": f"bench{h}",
+            "url": f"https://bench{h}.example.test/page/0",
+            "url_type": 2,
+            "target_patterns": [".pdf"],
+            "seed_pattern": "/page/",
+            "max_depth": 2,
+        }
+        for h in range(n_hosts)
+    ]
+    robots = [
+        {
+            "main_domain": f"bench{h}.example.test",
+            "allow_patterns": [],
+            "deny_patterns": ["/private/"],
+            "crawl_delay_s": 1.0,
+        }
+        for h in range(n_hosts)
+    ]
+    return seeds, robots

