@@ -61,12 +61,20 @@ HEADLINE = [
 def make_spark(cores: int, app: str):
     from pyspark.sql import SparkSession
 
+    # This sandbox dispatches tasks at ~25 ms each (serialized on the
+    # driver), so task COUNT is the dominant fixed cost at small scale.
+    # parallelismFirst=false lets AQE coalesce post-shuffle partitions by
+    # SIZE — tiny shuffles collapse to a few tasks while genuinely big
+    # stages keep `shuffle.partitions` — which is also the right setting
+    # on a real cluster (fewer, right-sized reducers).
     return (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(max(32, 2 * cores)))
-        .config("spark.default.parallelism", str(max(32, 2 * cores)))
+        .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -104,6 +112,18 @@ def crawl_run(cores: int) -> dict:
     robots = spark.createDataFrame(
         [tuple(r.values()) for r in robots_rows], ROBOTS_DDL
     )
+    # warm-up: one trivial write + pandas-UDF round amortizes one-time JVM
+    # costs (Hadoop committer init, codegen, Python worker spawn) so the
+    # timed section measures steady-state throughput at both core counts
+    import tempfile as _tf
+
+    from scrapy_playwright_scrapegraphai_spark.functions.udfs import main_domain_udf
+
+    warm = spark.createDataFrame(
+        [(f"https://warm{i}.test/x",) for i in range(64)], "url string"
+    ).withColumn("md", main_domain_udf(F.col("url")))
+    warm.write.mode("overwrite").parquet(_tf.mkdtemp(prefix="sps_warm_") + "/w")
+
     ckpt = tempfile.mkdtemp(prefix=f"sps_bench_ckpt_{cores}_")
     cfg = CrawlConfig(
         superstep_seconds=1e6,  # politeness budget ≫ frontier → max admission

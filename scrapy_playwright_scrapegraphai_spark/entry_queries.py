@@ -419,6 +419,132 @@ FROM documents GROUP BY 1
 """
 
 
+def q_root_seed_filter(spark, sf):
+    """P1 (frontier_spider.py:58-59): keep rows matching a requested
+    root-seed id set — equality/IN filter pushed to the scan."""
+    ev = _t(spark, sf, "events")
+    return ev.filter(F.col("user_id").isin(1, 2, 3)).select(
+        "event_id", "user_id"
+    )
+
+
+SQL_ROOT_SEED_FILTER = """
+SELECT event_id, user_id FROM events WHERE user_id IN (1, 2, 3)
+"""
+
+
+ROBOTS_GATE_RULES = [
+    ("click", 2.0),   # click events need value >= 2.0 to pass
+    ("view", 8.0),
+    ("purchase", 0.0),
+]
+
+
+def q_robots_gate(spark, sf):
+    """J5 (north rule; reference disables robots, settings.py:49):
+    broadcast-join a small rules dim onto the work set, classify each
+    row allowed/skipped — the robots allow/deny → url_state='skipped'
+    discipline (schema.sql:24) over testdata shapes."""
+    ev = _t(spark, sf, "events")
+    rules = spark.createDataFrame(
+        ROBOTS_GATE_RULES, "rule_type string, min_value double"
+    )
+    joined = ev.join(F.broadcast(rules), ev.event_type == rules.rule_type, "left")
+    return joined.select(
+        "event_id",
+        F.when(F.col("rule_type").isNull(), "skipped")
+        .when(F.col("value") >= F.col("min_value"), "pending")
+        .otherwise("skipped")
+        .alias("url_state"),
+    )
+
+
+SQL_ROBOTS_GATE = """
+SELECT event_id,
+       CASE WHEN r.rule_type IS NULL THEN 'skipped'
+            WHEN e.value >= r.min_value THEN 'pending'
+            ELSE 'skipped' END AS url_state
+FROM events e
+LEFT JOIN (VALUES ('click', 2.0), ('view', 8.0), ('purchase', 0.0))
+     AS r(rule_type, min_value)
+  ON e.event_type = r.rule_type
+"""
+
+
+def q_discovery_order(spark, sf):
+    """W4 (frontier_spider.py:189-204): document-order link positions via
+    posexplode — the discovery_seq = (parent, pos) total-order feed."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 20)
+    return d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+
+
+SQL_DISCOVERY_ORDER = """
+SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS token
+FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 20),
+     unnest(generate_series(1, len(t))) AS u(i)
+"""
+
+
+def q_topk_per_group(spark, sf):
+    """W1 at scale (queries.sql:58-63): per-partition top-k (per-group
+    window rank) — the shard-local batch cut before the global merge."""
+    p = _t(spark, sf, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        p.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("p_brand", "p_partkey",
+                _cents(F.col("p_retailprice")).alias("price_cents"), "rank")
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT p_brand, p_partkey,
+       CAST(floor(p_retailprice * 100.0) AS BIGINT) AS price_cents, rank
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rank
+  FROM part
+) WHERE rank <= 3
+"""
+
+
+def q_table_counts(spark, sf):
+    """A5 (clean_db.py:34-45): before/after table counts as one row."""
+    o = _t(spark, sf, "orders").agg(F.count("*").alias("n_orders"))
+    c = _t(spark, sf, "customer").agg(F.count("*").alias("n_customers"))
+    return o.crossJoin(c)
+
+
+SQL_TABLE_COUNTS = """
+SELECT (SELECT count(*) FROM orders) AS n_orders,
+       (SELECT count(*) FROM customer) AS n_customers
+"""
+
+
+def q_json_metadata(spark, sf):
+    """F8 (schema.sql:78 JSONB metadata): extract a typed field from the
+    JSON props column and aggregate it."""
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.max(k).alias("max_k")
+    )
+
+
+SQL_JSON_METADATA = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 # ===========================================================================
 # Headline scan-heavy aggregates (bench anchors)
 # ===========================================================================
@@ -759,6 +885,12 @@ QUERIES = {
     "duration_epoch": q_duration_epoch,
     "union_targets_seeds": q_union_targets_seeds,
     "hash_partition_assign": q_hash_partition_assign,
+    "root_seed_filter": q_root_seed_filter,
+    "robots_gate": q_robots_gate,
+    "discovery_order": q_discovery_order,
+    "topk_per_group": q_topk_per_group,
+    "table_counts": q_table_counts,
+    "json_metadata": q_json_metadata,
     "tpch_q1_like": q_tpch_q1_like,
     "tpch_q3_like": q_tpch_q3_like,
     "dedup_exact": q_dedup_exact,
@@ -795,6 +927,12 @@ ORACLE_SQL = {
     "duration_epoch": SQL_DURATION_EPOCH,
     "union_targets_seeds": SQL_UNION_TARGETS_SEEDS,
     "hash_partition_assign": SQL_HASH_PARTITION_ASSIGN,
+    "root_seed_filter": SQL_ROOT_SEED_FILTER,
+    "robots_gate": SQL_ROBOTS_GATE,
+    "discovery_order": SQL_DISCOVERY_ORDER,
+    "topk_per_group": SQL_TOPK_PER_GROUP,
+    "table_counts": SQL_TABLE_COUNTS,
+    "json_metadata": SQL_JSON_METADATA,
     "tpch_q1_like": SQL_TPCH_Q1_LIKE,
     "tpch_q3_like": SQL_TPCH_Q3_LIKE,
     "dedup_exact": SQL_DEDUP_EXACT,

@@ -173,46 +173,47 @@ def expand_pages(fetched: DataFrame) -> DataFrame:
     is len(found_links) for lineage metrics (logging_utils.py:93-122).
     """
 
+    names = [f.name for f in EXPANDED_SCHEMA.fields]
+
     def _expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows: list[dict] = []
+            # columnar accumulation: per-page extend of plain lists — no
+            # per-link dict construction (the hot path at 10^10 links)
+            cols: dict[str, list] = {n: [] for n in names}
             for r in pdf.itertuples(index=False):
                 if r.html is None:
                     continue
                 found = kernels.extract_links(r.html, r.url)
+                patterns = (
+                    list(r.target_patterns) if r.target_patterns is not None else []
+                )
                 items = kernels.classify_links(
                     r.url,
                     found,
                     int(r.url_type),
-                    list(r.target_patterns) if r.target_patterns is not None else [],
+                    patterns,
                     r.seed_pattern,
                     int(r.depth),
                     int(r.max_depth),
                 )
-                for item in items:
-                    rows.append(
-                        {
-                            "url": item.url,
-                            "category": r.category,
-                            "url_type": int(r.url_type),
-                            "depth": item.depth,
-                            "max_depth": int(r.max_depth),
-                            "target_patterns": list(r.target_patterns)
-                            if r.target_patterns is not None
-                            else [],
-                            "seed_pattern": r.seed_pattern,
-                            "is_target": item.is_target,
-                            "parent_url": r.url,
-                            "parent_seq": int(r.discovery_seq),
-                            "item_seq": item.item_seq,
-                            "root_seed_id": int(r.root_seed_id),
-                            "found_count": len(found),
-                        }
-                    )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in EXPANDED_SCHEMA.fields]
-            ) if rows else pd.DataFrame(
-                {f.name: pd.Series(dtype="object") for f in EXPANDED_SCHEMA.fields}
+                if not items:
+                    continue
+                n = len(items)
+                cols["url"].extend(item.url for item in items)
+                cols["category"].extend([r.category] * n)
+                cols["url_type"].extend([int(r.url_type)] * n)
+                cols["depth"].extend(item.depth for item in items)
+                cols["max_depth"].extend([int(r.max_depth)] * n)
+                cols["target_patterns"].extend([patterns] * n)
+                cols["seed_pattern"].extend([r.seed_pattern] * n)
+                cols["is_target"].extend(item.is_target for item in items)
+                cols["parent_url"].extend([r.url] * n)
+                cols["parent_seq"].extend([int(r.discovery_seq)] * n)
+                cols["item_seq"].extend(item.item_seq for item in items)
+                cols["root_seed_id"].extend([int(r.root_seed_id)] * n)
+                cols["found_count"].extend([len(found)] * n)
+            yield pd.DataFrame(cols) if cols["url"] else pd.DataFrame(
+                {n: pd.Series(dtype="object") for n in names}
             )
 
     return fetched.select(*_EXPAND_IN_COLS).mapInPandas(_expand, EXPANDED_SCHEMA)

@@ -27,6 +27,7 @@ from __future__ import annotations
 import hashlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -79,6 +80,45 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 
 # --------------------------------------------------------------------------
+# bucket-local pair expansion (shared by the LSH sketches)
+# --------------------------------------------------------------------------
+
+
+def _bucket_pair_expand(bucketed: DataFrame, key_cols: list[str],
+                        payload) -> DataFrame:
+    """Emit all within-bucket pairs (a, b), a before b in sorted order.
+
+    One groupBy shuffle + in-memory explode per bucket — the sketch side
+    of the plan evaluates ONCE (a self-join would recompute the signature
+    UDF for each side) and the candidate pair space materializes only
+    inside buckets. LSH bucket sizes are small by construction; a
+    pathological hot bucket (all-identical docs) degrades to that
+    bucket's local quadratic, same as any LSH implementation.
+    """
+    grouped = (
+        bucketed.groupBy(*key_cols)
+        .agg(F.collect_list(payload).alias("_items"))
+        .filter(F.size("_items") >= 2)
+        .withColumn("_items", F.array_sort("_items"))
+    )
+    items = F.col("_items")
+    pairs = F.flatten(
+        F.transform(
+            items,
+            lambda x, i: F.transform(
+                F.slice(
+                    items,
+                    i + F.lit(2),
+                    F.greatest(F.size(items) - i - F.lit(1), F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return grouped.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
+
+
+# --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
@@ -92,20 +132,28 @@ def make_minhash_udf(num_hashes: int = 64, shingle_n: int = 3):
 
     @pandas_udf(ArrayType(LongType()))
     def minhash_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        M = np.uint64(_MERSENNE)
         for texts in it:
             out = []
             for t in texts:
                 if t is None:
                     out.append(None)
                     continue
-                sig = [_MERSENNE] * num_hashes
-                for sh in _shingles(t, shingle_n):
-                    a, b = _hash_pair(sh)
-                    for i in range(num_hashes):
-                        v = (a + i * b) % _MERSENNE
-                        if v < sig[i]:
-                            sig[i] = v
-                out.append(sig)
+                shingles = _shingles(t, shingle_n)
+                if not shingles:
+                    out.append([_MERSENNE] * num_hashes)
+                    continue
+                ab = np.array(
+                    [_hash_pair(sh) for sh in shingles], dtype=np.uint64
+                )
+                # sig[i] = min_sh (a + i*b) mod M, computed iteratively so no
+                # intermediate exceeds 2^62 (a, b < 2^61): v_{i+1} = (v_i+b)%M
+                v, b = ab[:, 0].copy(), ab[:, 1]
+                sig = np.empty(num_hashes, dtype=np.uint64)
+                for i in range(num_hashes):
+                    sig[i] = v.min()
+                    v = (v + b) % M
+                out.append(sig.astype(np.int64).tolist())
             yield pd.Series(out)
 
     return minhash_udf
@@ -145,16 +193,9 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc", "bb.band_idx", "bb.band_hash")
-    a = banded.alias("a")
-    b = banded.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        _bucket_pair_expand(banded, ["band_idx", "band_hash"], F.col("doc"))
+        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
         .distinct()
     )
 
@@ -169,23 +210,30 @@ def make_simhash_udf(shingle_n: int = 1):
 
     @pandas_udf(LongType())
     def simhash_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        shifts = np.arange(64, dtype=np.uint64)
         for texts in it:
             out = []
             for t in texts:
                 if t is None:
                     out.append(None)
                     continue
-                counts = [0] * 64
-                for sh in _shingles(t, shingle_n):
-                    h = int.from_bytes(
-                        hashlib.blake2b(sh, digest_size=8).digest(), "little"
+                shingles = _shingles(t, shingle_n)
+                hs = np.array(
+                    [
+                        int.from_bytes(
+                            hashlib.blake2b(sh, digest_size=8).digest(), "little"
+                        )
+                        for sh in shingles
+                    ],
+                    dtype=np.uint64,
+                )
+                # counts[bit] = ones - zeros > 0  ⟺  2*ones > n_shingles
+                ones = ((hs[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+                v = int(
+                    ((2 * ones > len(hs)).astype(np.uint64) << shifts).sum(
+                        dtype=np.uint64
                     )
-                    for bit in range(64):
-                        counts[bit] += 1 if (h >> bit) & 1 else -1
-                v = 0
-                for bit in range(64):
-                    if counts[bit] > 0:
-                        v |= 1 << bit
+                )
                 # to signed 64-bit
                 out.append(v - (1 << 64) if v >= (1 << 63) else v)
             yield pd.Series(out)
@@ -228,13 +276,9 @@ def simhash_candidates(
             )
         ).alias("cc"),
     ).select("doc", "sig", "cc.chunk_idx", "cc.chunk")
-    a, b = chunked.alias("a"), chunked.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc") < F.col("b.doc")),
+        _bucket_pair_expand(
+            chunked, ["chunk_idx", "chunk"], F.struct(F.col("doc"), F.col("sig"))
         )
         .select(
             F.col("a.doc").alias("doc_a"),

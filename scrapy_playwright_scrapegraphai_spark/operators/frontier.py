@@ -112,11 +112,17 @@ def assign_global_seq(
         )
 
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # Materialize the input ONCE before repartitionByRange: the range
+    # partitioner runs a sampling pass over its input, which would
+    # otherwise re-execute the whole upstream (extract UDF + dedup +
+    # anti-join) a second time. The checkpointed input also pins
+    # determinism for the count and window passes below (the shuffle
+    # exchange itself is reused across them).
+    src = df.localCheckpoint(eager=True)
     ranged = (
-        df.repartitionByRange(n, *cols)
+        src.repartitionByRange(n, *cols)
         .withColumn("_pid", F.spark_partition_id())
     )
-    ranged = ranged.localCheckpoint(eager=True)  # pin partitioner for both passes
     counts = {r["_pid"]: r["cnt"] for r in
               ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     offsets, acc = {}, start

@@ -56,17 +56,24 @@ def with_robots(work: DataFrame, robots: DataFrame) -> DataFrame:
     )
 
 
-def admit(
+def admit_tagged(
     work: DataFrame,
     robots: DataFrame,
     superstep_seconds: float,
     salt_shards: int = 8,
     order_cols: tuple[str, ...] = ("discovery_seq",),
-) -> AdmissionResult:
-    """Split pending work into (admitted, deferred, denied)."""
-    w = with_robots(work, robots)
-    denied = w.filter(~F.col("_robots_ok"))
-    eligible = w.filter(F.col("_robots_ok")).withColumn(
+) -> DataFrame:
+    """Tag every work row with ``_disposition`` ∈ admitted/deferred/denied.
+
+    Single-DataFrame form for the superstep driver: one cache, one
+    groupBy('_disposition') count job covers all admission metrics, and
+    the split DataFrames are cheap filters over the cached plan. The
+    deferred set is built by UNION of the phase-1 and phase-2 window
+    losers — no anti-join back against the eligible set.
+    """
+    base_cols = work.columns
+    order = [F.col(c) for c in order_cols]
+    w = with_robots(work, robots).withColumn(
         "_budget",
         F.greatest(
             F.lit(1),
@@ -75,33 +82,59 @@ def admit(
                 / F.coalesce(F.col("crawl_delay_s"), F.lit(DEFAULT_CRAWL_DELAY_S))
             ).cast("int"),
         ),
-    )
+    ).withColumn("_salt", F.pmod(F.xxhash64(F.col("url")), F.lit(salt_shards)))
 
-    order = [F.col(c) for c in order_cols]
-    # phase 1: per-(host, salt) top-budget — mega-host spread over S shards
-    salted = eligible.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col("url")), F.lit(salt_shards))
+    # phase 1 over ALL rows (denied included) via a running count of
+    # robots-eligible rows — rank-among-eligible without a pre-filter, so
+    # the (host, salt) window exchange is computed once and reused by both
+    # union branches (the robots UDF therefore runs exactly once).
+    w1 = (
+        Window.partitionBy("main_domain", "_salt")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w1 = Window.partitionBy("main_domain", "_salt").orderBy(*order)
-    survivors = (
-        salted.withColumn("_r1", F.row_number().over(w1))
-        .filter(F.col("_r1") <= F.col("_budget"))
-        .drop("_r1", "_salt")
+    r1 = w.withColumn(
+        "_ok_rank",
+        F.sum(F.when(F.col("_robots_ok"), 1).otherwise(0)).over(w1),
+    )
+    survives1 = F.col("_robots_ok") & (F.col("_ok_rank") <= F.col("_budget"))
+    branch_out = r1.filter(~survives1).select(
+        *base_cols,
+        F.when(~F.col("_robots_ok"), F.lit("denied"))
+        .otherwise(F.lit("deferred"))
+        .alias("_disposition"),
     )
     # phase 2: exact per-host top-budget over the ≤ S×budget survivors
+    # (the mega-host never sees all its rows in one window partition)
     w2 = Window.partitionBy("main_domain").orderBy(*order)
-    ranked = survivors.withColumn("_r2", F.row_number().over(w2))
-    admitted = ranked.filter(F.col("_r2") <= F.col("_budget"))
-
-    # deferred = eligible minus admitted (by unique discovery_seq)
-    deferred = eligible.join(
-        admitted.select("discovery_seq"), on="discovery_seq", how="left_anti"
+    branch_in = (
+        r1.filter(survives1)
+        .withColumn("_r2", F.row_number().over(w2))
+        .select(
+            *base_cols,
+            F.when(F.col("_r2") <= F.col("_budget"), F.lit("admitted"))
+            .otherwise(F.lit("deferred"))
+            .alias("_disposition"),
+        )
     )
+    return branch_in.unionByName(branch_out)
 
-    drop_aux = ["_robots_ok", "_budget", "_r1", "_r2", "_salt",
-                "allow_patterns", "deny_patterns", "crawl_delay_s"]
-    return AdmissionResult(  # .drop ignores absent columns
-        admitted=admitted.drop(*drop_aux),
-        deferred=deferred.drop(*drop_aux),
-        denied=denied.drop(*drop_aux),
+
+def admit(
+    work: DataFrame,
+    robots: DataFrame,
+    superstep_seconds: float,
+    salt_shards: int = 8,
+    order_cols: tuple[str, ...] = ("discovery_seq",),
+) -> AdmissionResult:
+    """Split pending work into (admitted, deferred, denied)."""
+    tagged = admit_tagged(work, robots, superstep_seconds, salt_shards, order_cols)
+    return AdmissionResult(
+        admitted=tagged.filter(F.col("_disposition") == "admitted").drop(
+            "_disposition"
+        ),
+        deferred=tagged.filter(F.col("_disposition") == "deferred").drop(
+            "_disposition"
+        ),
+        denied=tagged.filter(F.col("_disposition") == "denied").drop("_disposition"),
     )

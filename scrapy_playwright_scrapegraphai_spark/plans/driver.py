@@ -21,8 +21,11 @@ Scale notes (10^10-URL design point):
 - every join in the loop is either broadcast (admitted batch, robots) or
   hash-partitioned on url; the frontier is the only big state and is
   touched via anti-join (bloom-prefiltered) + unionByName append.
-- snapshot writes are full-table here (parquet sandbox fallback); under
-  Iceberg the same commit is a MERGE + append touching only changed files.
+- snapshot commits are DELTAS (state-transition rows + new rows + lineage),
+  never a full-frontier rewrite — write cost is O(delta) per superstep;
+  under Iceberg the same commit is MERGE + append. The working frontier
+  advances in memory (localCheckpoint truncates lineage); resume folds the
+  committed deltas over the step-0 base.
 - no collect() of row data ever; only tiny aggregates (counts, shard
   blobs, partition offsets) reach the driver.
 """
@@ -35,7 +38,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.udfs import expand_pages, main_domain_udf
+from ..functions.udfs import expand_pages, extract_text_udf, main_domain_udf
 from ..operators import politeness
 from ..operators.frontier import (
     FRONTIER_COLUMNS,
@@ -137,35 +140,108 @@ class CrawlEngine:
         bloom.add_df(seen)
         return bloom
 
+    # -- delta fold (MERGE semantics; Iceberg stand-in) -------------------------
+
+    @staticmethod
+    def _apply_updates(frontier: DataFrame, updates: DataFrame) -> DataFrame:
+        """MERGE the per-step state-transition delta into the frontier.
+
+        Parquet fallback for Iceberg ``MERGE INTO``: broadcast join on the
+        unique ``discovery_seq`` + coalesce per column (queries.sql:66-74
+        CASE semantics are already baked into the delta rows).
+        """
+        return (
+            frontier.join(F.broadcast(updates), on="discovery_seq", how="left")
+            .withColumn(
+                "url_state", F.coalesce(F.col("_new_state"), F.col("url_state"))
+            )
+            .withColumn(
+                "error_message",
+                F.when(F.col("_new_state").isNotNull(), F.col("_new_error"))
+                .otherwise(F.col("error_message")),
+            )
+            .withColumn(
+                "attempt", F.col("attempt") + F.coalesce("_attempt_inc", F.lit(0))
+            )
+            .drop("_new_state", "_new_error", "_attempt_inc")
+        )
+
+    def _rebuild(self, upto: int):
+        """Reconstruct (frontier, metrics_rows, lineage_paths) from the
+        step-0 base + the committed per-step deltas — the resume path.
+        The folded plan is localCheckpoint-ed so subsequent supersteps
+        start from a materialized frontier, same as an unkilled run."""
+        spark = self.spark
+        frontier = self.store.read_table(spark, 0, "frontier")
+        metrics_rows: list[tuple] = []
+        lineage_paths: list[str] = []
+        text_paths: list[str] = []
+        for k in range(1, upto + 1):
+            man = self.store.read_manifest(k)
+            frontier = self._apply_updates(
+                frontier, self.store.read_table(spark, k, "updates")
+            ).unionByName(self.store.read_table(spark, k, "new_rows"))
+            metrics_rows.append(tuple(man["meta"]["metrics"]))
+            lineage_paths.append(man["tables"]["lineage"])
+            if "page_text" in man["tables"]:
+                text_paths.append(man["tables"]["page_text"])
+        if upto > 0:
+            frontier = frontier.localCheckpoint(eager=True)
+        return frontier, metrics_rows, lineage_paths, text_paths
+
+    def _result(self, frontier, metrics_rows, lineage_paths, text_paths,
+                steps_run, resumed_from) -> CrawlResult:
+        spark = self.spark
+        metrics = (
+            spark.createDataFrame(metrics_rows, METRICS_DDL)
+            if metrics_rows
+            else spark.createDataFrame([], METRICS_DDL)
+        )
+        lineage = (
+            spark.read.parquet(*lineage_paths)
+            if lineage_paths
+            else spark.createDataFrame([], LINEAGE_DDL)
+        )
+        return CrawlResult(
+            frontier, metrics, lineage, steps_run, resumed_from=resumed_from,
+            extra={"page_text_paths": list(text_paths)},
+        )
+
+    def page_text(self, result: "CrawlResult") -> DataFrame:
+        """(url, text) for every fetched page — the north-rule per-row
+        invariant surface (byte-identical to the single-process oracle)."""
+        paths = result.extra.get("page_text_paths") or []
+        if not paths:
+            return self.spark.createDataFrame([], "discovery_seq long, url string, text string")
+        return self.spark.read.parquet(*paths)
+
     # -- main loop ---------------------------------------------------------------
 
     def run(self, resume: bool = True, max_supersteps: int | None = None) -> CrawlResult:
         spark, cfg = self.spark, self.cfg
         max_steps = max_supersteps or cfg.max_supersteps
-        empty_metrics = spark.createDataFrame([], METRICS_DDL)
-        empty_lineage = spark.createDataFrame([], LINEAGE_DDL)
 
         latest = self.store.latest_step() if resume else None
         if latest is None:
             frontier = self._initial_frontier()
-            metrics, lineage = empty_metrics, empty_lineage
             next_seq = (frontier.agg(F.max("discovery_seq")).collect()[0][0] or -1) + 1
             step = 0
+            metrics_rows, lineage_paths, text_paths = [], [], []
+            # step 0 commits the full base frontier; every later step
+            # commits only deltas (updates + new_rows + lineage)
             self.store.write_step(
-                0,
-                {"frontier": frontier, "metrics": metrics, "lineage": lineage},
-                {"next_seq": next_seq, "done": False},
+                0, {"frontier": frontier}, {"next_seq": next_seq, "done": False}
             )
             frontier = self.store.read_table(spark, 0, "frontier")
         else:
             step = latest
             manifest = self.store.read_manifest(step)
-            frontier = self.store.read_table(spark, step, "frontier")
-            metrics = self.store.read_table(spark, step, "metrics")
-            lineage = self.store.read_table(spark, step, "lineage")
+            frontier, metrics_rows, lineage_paths, text_paths = self._rebuild(step)
             next_seq = manifest["meta"]["next_seq"]
             if manifest["meta"].get("done"):
-                return CrawlResult(frontier, metrics, lineage, 0, resumed_from=step)
+                return self._result(
+                    frontier, metrics_rows, lineage_paths, text_paths, 0, step
+                )
 
         bloom = self._build_bloom(frontier)
         steps_run = 0
@@ -190,27 +266,49 @@ class CrawlEngine:
                 & (F.col("is_root") | ~F.col("is_target"))
             )
             if work.isEmpty():
-                self.store.update_meta(step, {"next_seq": next_seq, "done": True})
+                done_meta = dict(self.store.read_manifest(step)["meta"])
+                done_meta.update({"next_seq": next_seq, "done": True})
+                self.store.update_meta(step, done_meta)
                 break
             step += 1
             steps_run += 1
             _mark("work_check")
 
-            # W2 + J5: politeness admission & robots
-            res = politeness.admit(
+            # W2 + J5: politeness admission & robots — ONE cached plan, ONE
+            # count job (groupBy disposition) for all admission metrics
+            tagged = politeness.admit_tagged(
                 work, self.robots, cfg.superstep_seconds, cfg.salt_shards
+            ).cache()
+            disp = {
+                r["_disposition"]: r["n"]
+                for r in tagged.groupBy("_disposition")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            n_admitted = disp.get("admitted", 0)
+            n_denied = disp.get("denied", 0)
+            n_work = sum(disp.values())
+            admitted = tagged.filter(F.col("_disposition") == "admitted").drop(
+                "_disposition"
             )
-            admitted = res.admitted.cache()
-            denied = res.denied.cache()
-            n_admitted, n_denied = admitted.count(), denied.count()
-            n_work = work.count()
+            denied = tagged.filter(F.col("_disposition") == "denied").drop(
+                "_disposition"
+            )
             _mark("politeness")
 
             # J3: fetch join — admitted batch is politeness-bounded → broadcast
+            # build side; the big pages table streams exactly once. Failures
+            # (url not in corpus ≙ errback_playwright) are admitted minus ok on
+            # the unique discovery_seq — never a second pass over pages.
             page_content = self.pages.select("url", "html")
-            ok = F.broadcast(admitted).join(page_content, on="url", how="inner")
-            failed = admitted.join(page_content, on="url", how="left_anti").cache()
-            n_failed = failed.count()
+            ok = page_content.join(F.broadcast(admitted), on="url", how="inner").cache()
+            n_ok = ok.count()
+            n_failed = n_admitted - n_ok
+            failed = admitted.join(
+                F.broadcast(ok.select("discovery_seq")),
+                on="discovery_seq",
+                how="left_anti",
+            )
             _mark("fetch_join")
 
             # K1 + P2–P6: extract + classify in one Arrow pass
@@ -281,23 +379,6 @@ class CrawlEngine:
                     )
                 )
             )
-            frontier = (
-                frontier.join(F.broadcast(updates), on="discovery_seq", how="left")
-                .withColumn(
-                    "url_state", F.coalesce(F.col("_new_state"), F.col("url_state"))
-                )
-                .withColumn(
-                    "error_message",
-                    F.when(F.col("_new_state").isNotNull(), F.col("_new_error"))
-                    .otherwise(F.col("error_message")),
-                )
-                .withColumn(
-                    "attempt", F.col("attempt") + F.coalesce("_attempt_inc", F.lit(0))
-                )
-                .drop("_new_state", "_new_error", "_attempt_inc")
-                .unionByName(new_rows)
-            )
-
             # S6/A4: per-partition lineage + per-superstep metrics
             step_lineage = (
                 children.groupBy("partition_id", "root_seed_id", "category")
@@ -316,32 +397,45 @@ class CrawlEngine:
                     "target_urls_found", "seed_urls_found", "total_urls_found",
                 )
             )
-            lineage = lineage.unionByName(step_lineage)
-            n_ok = n_admitted - n_failed
             wall = time.monotonic() - t0
-            step_metrics = self.spark.createDataFrame(
-                [
-                    (
-                        step, n_work, n_admitted, n_denied,
-                        n_work - n_admitted - n_denied, n_ok, n_failed, n_new,
-                        wall,
-                    )
-                ],
-                METRICS_DDL,
+            metrics_row = (
+                step, n_work, n_admitted, n_denied,
+                n_work - n_admitted - n_denied, n_ok, n_failed, n_new, wall,
             )
-            metrics = metrics.unionByName(step_metrics)
+            metrics_rows.append(metrics_row)
             _mark("metrics_lineage")
 
-            # atomic snapshot commit; re-read to truncate lineage
+            # atomic DELTA commit (Iceberg-MERGE stand-in): only the
+            # state-transition rows + new frontier rows + lineage hit disk;
+            # write cost is O(delta), never O(frontier). The per-step
+            # metrics row rides in the manifest meta.
+            # K2: per-fetched-page text extraction (north-rule invariant),
+            # committed as part of the same superstep delta
+            page_text = ok.select(
+                "discovery_seq", "url",
+                extract_text_udf(F.col("html")).alias("text"),
+            )
             self.store.write_step(
                 step,
-                {"frontier": frontier, "metrics": metrics, "lineage": lineage},
-                {"next_seq": next_seq, "done": False},
+                {
+                    "updates": updates.coalesce(8),
+                    "new_rows": new_rows,
+                    "lineage": step_lineage.coalesce(1),
+                    "page_text": page_text,
+                },
+                {"next_seq": next_seq, "done": False, "metrics": metrics_row},
             )
-            frontier = self.store.read_table(spark, step, "frontier")
-            metrics = self.store.read_table(spark, step, "metrics")
-            lineage = self.store.read_table(spark, step, "lineage")
-            for df in (admitted, denied, failed, children, new_rows):
+            tables = self.store.read_manifest(step)["tables"]
+            lineage_paths.append(tables["lineage"])
+            text_paths.append(tables["page_text"])
+            # advance the in-memory frontier; localCheckpoint truncates the
+            # growing plan without a full-table parquet round-trip
+            frontier = (
+                self._apply_updates(frontier, updates)
+                .unionByName(new_rows)
+                .localCheckpoint(eager=True)
+            )
+            for df in (tagged, ok, children, new_rows):
                 df.unpersist()
             _mark("snapshot_write")
             if cfg.profile:
@@ -350,8 +444,8 @@ class CrawlEngine:
                 )
                 print(f"[profile] step {step}: {phases}", file=sys.stderr)
 
-        return CrawlResult(frontier, metrics, lineage, steps_run,
-                           resumed_from=latest)
+        return self._result(frontier, metrics_rows, lineage_paths, text_paths,
+                            steps_run, latest)
 
 
 def run_log(result: CrawlResult) -> DataFrame:
