@@ -96,53 +96,67 @@ def assign_global_seq(
     start: int = 0,
     mode: str = "ranged",
     num_partitions: int | None = None,
+    key_bound: int | None = None,
+    with_count: bool = False,
 ) -> DataFrame:
     """Add dense ``discovery_seq`` = start + (rank in global order) - 1.
 
-    'ranged' mode avoids the single-partition global window: range-
-    repartition on the order key, row_number within each partition, then
-    add per-partition offsets (computed from a tiny P-row count collect).
-    Order keys must be unique (ours are: (parent_seq, item_seq)).
+    'ranged' mode avoids the single-partition global window by bucketing
+    on the VALUE of the leading order key: ``bucket = key*B div bound``
+    is monotone in the key, so (bucket asc, rank-within-bucket) is the
+    global order; per-bucket offsets come from a tiny B-row count
+    collect. Value-derived buckets are invariant to parallelism, AQE
+    coalescing, and physical partitioning — ``spark_partition_id`` is
+    deliberately NOT used (post-shuffle partition ids can differ between
+    the count pass and the rank pass under AQE, which would corrupt the
+    offsets). Order keys must be unique (ours: (parent_seq, item_seq))
+    and the leading key non-negative.
+
+    ``key_bound``: exclusive upper bound of the leading key if the
+    caller knows it (skips one agg job). The input is localCheckpoint-ed
+    so the expensive upstream (extract UDF, dedup, anti-join) executes
+    exactly once across the count and rank passes.
     """
     cols = [F.col(c) for c in order_cols]
     if mode == "window":
         w = Window.orderBy(*cols)
-        return df.withColumn(
+        out = df.withColumn(
             "discovery_seq", (F.row_number().over(w) + F.lit(start - 1)).cast("long")
         )
+        return (out, out.count()) if with_count else out
 
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # Materialize the input ONCE before repartitionByRange: the range
-    # partitioner runs a sampling pass over its input, which would
-    # otherwise re-execute the whole upstream (extract UDF + dedup +
-    # anti-join) a second time. The checkpointed input also pins
-    # determinism for the count and window passes below (the shuffle
-    # exchange itself is reused across them).
+    B = num_partitions or 2 * df.sparkSession.sparkContext.defaultParallelism
     src = df.localCheckpoint(eager=True)
-    ranged = (
-        src.repartitionByRange(n, *cols)
-        .withColumn("_pid", F.spark_partition_id())
+    if key_bound is None:
+        key_bound = (src.agg(F.max(cols[0])).collect()[0][0] or 0) + 1
+    key_bound = max(int(key_bound), 1)
+    src = src.withColumn(
+        "_bkt",
+        F.expr(f"CAST(({order_cols[0]} * {B}) DIV {key_bound} AS INT)"),
     )
-    counts = {r["_pid"]: r["cnt"] for r in
-              ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    counts = {r["_bkt"]: r["cnt"] for r in
+              src.groupBy("_bkt").agg(F.count("*").alias("cnt")).collect()}
     offsets, acc = {}, start
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    for bkt in sorted(counts):
+        offsets[bkt] = acc
+        acc += counts[bkt]
     if offsets:
         offmap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-        off_expr = offmap[F.col("_pid")]
+        off_expr = offmap[F.col("_bkt")]
     else:  # empty batch — any literal works, no rows exist
         off_expr = F.lit(start)
-    w = Window.partitionBy("_pid").orderBy(*cols)
-    return (
-        ranged.withColumn("_rn", F.row_number().over(w))
+    w = Window.partitionBy("_bkt").orderBy(*cols)
+    out = (
+        src.withColumn("_rn", F.row_number().over(w))
         .withColumn(
             "discovery_seq",
             (off_expr + F.col("_rn") - F.lit(1)).cast("long"),
         )
-        .drop("_pid", "_rn")
+        .drop("_bkt", "_rn")
     )
+    # the bucket-count pass already totalled the batch — callers needing
+    # the row count (superstep metrics / next_seq advance) get it free
+    return (out, acc - start) if with_count else out
 
 
 def finalize_new_rows(new: DataFrame, superstep: int) -> DataFrame:

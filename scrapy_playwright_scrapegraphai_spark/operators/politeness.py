@@ -40,19 +40,57 @@ class AdmissionResult:
     denied: DataFrame    # robots-denied → url_state 'skipped'
 
 
-def with_robots(work: DataFrame, robots: DataFrame) -> DataFrame:
-    """Broadcast-join politeness rules onto work rows (small dim table)."""
+_REGEX_META = set(".^$*+?{}[]()|\\")
+
+
+def rules_are_regex_free(robots: DataFrame) -> bool:
+    """True iff every allow/deny pattern is free of regex metacharacters.
+
+    For such patterns the reference's dual predicate (case-insensitive
+    substring OR case-insensitive regex search, url_utils.py:14-24)
+    degenerates to plain substring containment, which the JVM evaluates
+    natively — no Python stage in the politeness path. The robots dim
+    table is broadcast-small by design, so this one collect at engine
+    init is the standard small-dim inspection.
+    """
+    rows = robots.select("allow_patterns", "deny_patterns").collect()
+    for r in rows:
+        for pats in (r["allow_patterns"], r["deny_patterns"]):
+            for p in pats or []:
+                if any(ch in _REGEX_META for ch in p):
+                    return False
+    return True
+
+
+def _contains_any(url, patterns) -> "F.Column":
+    lurl = F.lower(url)
+    return F.exists(patterns, lambda p: lurl.contains(F.lower(p)))
+
+
+def with_robots(work: DataFrame, robots: DataFrame,
+                native: bool = False) -> DataFrame:
+    """Broadcast-join politeness rules onto work rows (small dim table).
+
+    ``native=True`` (caller has verified ``rules_are_regex_free``) keeps
+    the allow/deny verdict entirely JVM-side; otherwise the Python-parity
+    UDF evaluates the reference's dual substring/regex semantics.
+    """
     rules = robots.select(
         "main_domain", "allow_patterns", "deny_patterns", "crawl_delay_s"
     )
     joined = work.join(F.broadcast(rules), on="main_domain", how="left")
+    if native:
+        denied = _contains_any(F.col("url"), F.col("deny_patterns")) & ~F.coalesce(
+            _contains_any(F.col("url"), F.col("allow_patterns")), F.lit(False)
+        )
+        verdict = ~F.coalesce(denied, F.lit(False))
+    else:
+        verdict = robots_allows_udf(
+            F.col("url"), F.col("allow_patterns"), F.col("deny_patterns")
+        )
     return joined.withColumn(
         "_robots_ok",
-        F.when(F.col("deny_patterns").isNull(), F.lit(True)).otherwise(
-            robots_allows_udf(
-                F.col("url"), F.col("allow_patterns"), F.col("deny_patterns")
-            )
-        ),
+        F.when(F.col("deny_patterns").isNull(), F.lit(True)).otherwise(verdict),
     )
 
 
@@ -62,6 +100,7 @@ def admit_tagged(
     superstep_seconds: float,
     salt_shards: int = 8,
     order_cols: tuple[str, ...] = ("discovery_seq",),
+    native_robots: bool = False,
 ) -> DataFrame:
     """Tag every work row with ``_disposition`` ∈ admitted/deferred/denied.
 
@@ -73,7 +112,7 @@ def admit_tagged(
     """
     base_cols = work.columns
     order = [F.col(c) for c in order_cols]
-    w = with_robots(work, robots).withColumn(
+    w = with_robots(work, robots, native=native_robots).withColumn(
         "_budget",
         F.greatest(
             F.lit(1),

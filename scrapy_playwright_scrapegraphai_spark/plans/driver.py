@@ -102,6 +102,10 @@ class CrawlEngine:
         self.robots = robots
         self.cfg = config or CrawlConfig()
         self.store = SnapshotStore(checkpoint_dir)
+        # regex-free allow/deny rules → JVM-native substring verdict (no
+        # Python stage in the politeness path); one tiny collect on the
+        # broadcast-small robots dim
+        self._native_robots = politeness.rules_are_regex_free(robots)
 
     # -- initial state ---------------------------------------------------------
 
@@ -230,7 +234,9 @@ class CrawlEngine:
             # step 0 commits the full base frontier; every later step
             # commits only deltas (updates + new_rows + lineage)
             self.store.write_step(
-                0, {"frontier": frontier}, {"next_seq": next_seq, "done": False}
+                0,
+                {"frontier": frontier.coalesce(1)},  # seed list — tiny
+                {"next_seq": next_seq, "done": False},
             )
             frontier = self.store.read_table(spark, 0, "frontier")
         else:
@@ -243,10 +249,14 @@ class CrawlEngine:
                     frontier, metrics_rows, lineage_paths, text_paths, 0, step
                 )
 
-        bloom = self._build_bloom(frontier)
-        steps_run = 0
-
         import sys
+
+        t_init = time.monotonic()
+        bloom = self._build_bloom(frontier)
+        if cfg.profile:
+            print(f"[profile] bloom_build={time.monotonic()-t_init:.1f}s",
+                  file=sys.stderr)
+        steps_run = 0
 
         def _mkphase():
             state = {"last": time.monotonic(), "acc": {}}
@@ -269,25 +279,40 @@ class CrawlEngine:
                 done_meta = dict(self.store.read_manifest(step)["meta"])
                 done_meta.update({"next_seq": next_seq, "done": True})
                 self.store.update_meta(step, done_meta)
+                if cfg.profile:
+                    print(
+                        f"[profile] term_check={time.monotonic()-t0:.1f}s",
+                        file=sys.stderr,
+                    )
                 break
             step += 1
             steps_run += 1
             _mark("work_check")
 
-            # W2 + J5: politeness admission & robots — ONE cached plan, ONE
-            # count job (groupBy disposition) for all admission metrics
-            tagged = politeness.admit_tagged(
-                work, self.robots, cfg.superstep_seconds, cfg.salt_shards
-            ).cache()
-            disp = {
-                r["_disposition"]: r["n"]
-                for r in tagged.groupBy("_disposition")
-                .agg(F.count("*").alias("n"))
-                .collect()
-            }
-            n_admitted = disp.get("admitted", 0)
-            n_denied = disp.get("denied", 0)
-            n_work = sum(disp.values())
+            # W2 + J5: politeness admission & robots — ONE cached plan;
+            # admission metrics ride the plan as an Observation (collected
+            # as a side-effect of the first job that evaluates it — no
+            # dedicated count job)
+            from pyspark.sql import Observation
+
+            obs_adm = Observation(f"admission_{step}")
+            tagged = (
+                politeness.admit_tagged(
+                    work, self.robots, cfg.superstep_seconds, cfg.salt_shards,
+                    native_robots=self._native_robots,
+                )
+                .observe(
+                    obs_adm,
+                    F.count(F.lit(1)).alias("n_work"),
+                    F.sum(
+                        F.when(F.col("_disposition") == "admitted", 1).otherwise(0)
+                    ).alias("n_admitted"),
+                    F.sum(
+                        F.when(F.col("_disposition") == "denied", 1).otherwise(0)
+                    ).alias("n_denied"),
+                )
+                .cache()
+            )
             admitted = tagged.filter(F.col("_disposition") == "admitted").drop(
                 "_disposition"
             )
@@ -300,10 +325,13 @@ class CrawlEngine:
             # build side; the big pages table streams exactly once. Failures
             # (url not in corpus ≙ errback_playwright) are admitted minus ok on
             # the unique discovery_seq — never a second pass over pages.
+            obs_ok = Observation(f"fetch_{step}")
             page_content = self.pages.select("url", "html")
-            ok = page_content.join(F.broadcast(admitted), on="url", how="inner").cache()
-            n_ok = ok.count()
-            n_failed = n_admitted - n_ok
+            ok = (
+                page_content.join(F.broadcast(admitted), on="url", how="inner")
+                .observe(obs_ok, F.count(F.lit(1)).alias("n_ok"))
+                .cache()
+            )
             failed = admitted.join(
                 F.broadcast(ok.select("discovery_seq")),
                 on="discovery_seq",
@@ -330,11 +358,13 @@ class CrawlEngine:
                 new = anti_join_seen(batch, seen)
 
             new = new.drop("partition_id", "found_count")
-            new = assign_global_seq(
-                new, ["parent_seq", "item_seq"], start=next_seq, mode=cfg.seq_mode
+            new, n_new = assign_global_seq(
+                new, ["parent_seq", "item_seq"], start=next_seq,
+                mode=cfg.seq_mode,
+                key_bound=next_seq,  # every parent_seq < current next_seq
+                with_count=True,     # rides the bucket-count pass — no extra job
             )
             new_rows = finalize_new_rows(new, step).cache()
-            n_new = new_rows.count()
             next_seq += n_new
             _mark("expand_dedup_seq")
             if bloom is not None and n_new:
@@ -397,6 +427,14 @@ class CrawlEngine:
                     "target_urls_found", "seed_urls_found", "total_urls_found",
                 )
             )
+            # observation values are final once the expansion/bloom jobs
+            # above evaluated the cached plans (sum() over empty → None)
+            adm = obs_adm.get
+            n_work = adm["n_work"] or 0
+            n_admitted = adm["n_admitted"] or 0
+            n_denied = adm["n_denied"] or 0
+            n_ok = obs_ok.get["n_ok"] or 0
+            n_failed = n_admitted - n_ok
             wall = time.monotonic() - t0
             metrics_row = (
                 step, n_work, n_admitted, n_denied,

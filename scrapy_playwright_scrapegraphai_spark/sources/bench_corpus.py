@@ -27,7 +27,8 @@ def generate_bench_corpus(
     links_per_page: int = 40,
     mega_host_factor: int = 8,
     seed: int = 42,
-    chunk_rows: int = 2000,
+    chunk_rows: int = 400,  # one row group per chunk → enough input splits
+    words_per_page: int = 120,
 ) -> dict:
     """Write pages parquet to ``path``; return corpus facts (row counts).
 
@@ -76,8 +77,18 @@ def generate_bench_corpus(
         host = f"bench{h}.example.test"
         for j in range(count):
             parts = [f"<html><head><title>p{j} {host}</title></head><body>"]
-            words = " ".join(rng.choice(_WORDS) for _ in range(120))
-            parts.append(f"<p>{words}</p>")
+            wl = rng.choices(_WORDS, k=words_per_page)
+            words = " ".join(wl)
+            # spread the text over paragraphs so extract_text sees many nodes
+            for w0 in range(0, words_per_page, 60):
+                parts.append(f"<p>{' '.join(wl[w0:w0 + 60])}</p>")
+            if j == 0:
+                # page 0 is the hub: links to every page of the host, so a
+                # max_depth=1 crawl reaches the full host in ONE superstep
+                # (big parallel batch instead of many small BFS waves); the
+                # mega-host hub is also the politeness-skew stressor
+                for k in range(1, count):
+                    parts.append(f'<a href="/page/{k}">s{k}</a>')
             for _ in range(links_per_page):
                 k = rng.randrange(count)
                 parts.append(f'<a href="/page/{k}">s{k}</a>')
@@ -108,7 +119,7 @@ def bench_seeds_and_robots(n_hosts: int = 64):
             "url_type": 2,
             "target_patterns": [".pdf"],
             "seed_pattern": "/page/",
-            "max_depth": 2,
+            "max_depth": 1,  # hub roots reach the whole host at depth 1
         }
         for h in range(n_hosts)
     ]

@@ -113,6 +113,45 @@ def test_assign_global_seq_modes_agree(spark):
     assert key(a) == key(b)
 
 
+def test_assign_global_seq_invariant_to_partitioning(spark):
+    """Regression: seqs must not depend on bucket count, physical input
+    partitioning, or AQE post-shuffle coalescing (a spark_partition_id-
+    based offset scheme broke under AQE: the count pass and the rank pass
+    saw different coalesced partition ids → overlapping seq ranges)."""
+    data = [(i * 7 % 97, i) for i in range(300)]
+    key = lambda rows: sorted(
+        (r["parent_seq"], r["item_seq"], r["discovery_seq"]) for r in rows
+    )
+    ref = None
+    for nparts, buckets in [(1, 3), (5, 17), (40, 64)]:
+        df = spark.createDataFrame(
+            data, "parent_seq long, item_seq int"
+        ).repartition(nparts)
+        out = assign_global_seq(
+            df, ["parent_seq", "item_seq"], start=5, mode="ranged",
+            num_partitions=buckets,
+        ).collect()
+        seqs = sorted(r["discovery_seq"] for r in out)
+        assert seqs == list(range(5, 305))  # dense, no duplicates
+        ref = ref or key(out)
+        assert key(out) == ref
+
+
+def test_assign_global_seq_with_count(spark):
+    df = spark.createDataFrame(
+        [(i, i) for i in range(50)], "parent_seq long, item_seq int"
+    )
+    out, n = assign_global_seq(
+        df, ["parent_seq", "item_seq"], start=0, mode="ranged", with_count=True
+    )
+    assert n == 50 == out.count()
+    empty = df.filter("parent_seq < 0")
+    out2, n2 = assign_global_seq(
+        empty, ["parent_seq", "item_seq"], start=9, mode="ranged", with_count=True
+    )
+    assert n2 == 0 == out2.count()
+
+
 # --- politeness admission -------------------------------------------------------
 
 def _work_df(spark, rows):
