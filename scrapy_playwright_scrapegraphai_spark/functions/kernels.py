@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
+from functools import lru_cache
 from html.parser import HTMLParser
 from urllib.parse import urljoin, urlparse, urlsplit, urlunsplit
 
@@ -166,6 +167,45 @@ def _parse_page(html) -> _PageParser:
     return parser
 
 
+# hrefs that urljoin may REWRITE rather than concatenate: dot path
+# segments ('/.', '/..'), any params/query/fragment separator (urlparse
+# drops EMPTY trailing components — '/x?' → '/x' — so all of ';?#' is
+# simply excluded from the fast path), tab/CR/LF (stripped by urlsplit),
+# or a trailing char ≤ 0x20 (leading/trailing C0+space stripped)
+_RISKY_HREF = re.compile(r"/\.{1,2}(?=/|$)|[;?#\t\r\n]")
+
+
+def _make_resolver(base_url: str):
+    """Return ``resolve(href) == urljoin(base_url, href)``, fast.
+
+    ``urljoin`` costs ~10 µs/link and dominates page parsing at ~250
+    links/page. For the overwhelmingly common case — http(s) base and a
+    plain absolute-path href — the RFC 3986 merge degenerates to
+    ``scheme://netloc + href``, so that case is served by string concat.
+    The gate is strict: any href that could trigger urljoin's dot-segment
+    removal, protocol-relative handling, or urllib's C0/tab/newline
+    stripping falls back to the real ``urljoin``. Exact equivalence over
+    adversarial inputs is property-tested (test_kernels.py).
+    """
+    sp = urlsplit(base_url)
+    if sp.scheme in ("http", "https") and sp.netloc:
+        prefix = sp.scheme + "://" + sp.netloc
+        risky = _RISKY_HREF.search
+
+        def resolve(href: str) -> str:
+            if (
+                href.startswith("/")
+                and not href.startswith("//")
+                and href[-1] > " "
+                and not risky(href)
+            ):
+                return prefix + href
+            return urljoin(base_url, href)
+
+        return resolve
+    return lambda href: urljoin(base_url, href)
+
+
 def extract_links(html, base_url: str) -> list[str]:
     """All ``<a href>`` resolved against ``base_url`` in document order,
     falsy hrefs dropped, modal anchors appended again after the main pass.
@@ -177,9 +217,25 @@ def extract_links(html, base_url: str) -> list[str]:
     second (duplicate) emission of modal anchors.
     """
     p = _parse_page(html)
-    links = [urljoin(base_url, u) for u in p.hrefs if u]
-    links.extend(urljoin(base_url, u) for u in p.modal_hrefs if u)
+    resolve = _make_resolver(base_url)
+    links = [resolve(u) for u in p.hrefs if u]
+    links.extend(resolve(u) for u in p.modal_hrefs if u)
     return links
+
+
+def parse_page(html, base_url: str) -> tuple[list[str], str]:
+    """One-pass fused parse: ``(links, text)``.
+
+    Contract: ``links == extract_links(html, base_url)`` and
+    ``text == extract_text(html)`` — same parser class, parsed ONCE
+    (the separate kernels each run their own HTMLParser pass; the
+    engine's hot path calls this instead).
+    """
+    p = _parse_page(html)
+    resolve = _make_resolver(base_url)
+    links = [resolve(u) for u in p.hrefs if u]
+    links.extend(resolve(u) for u in p.modal_hrefs if u)
+    return links, "\n".join(p.text_chunks)
 
 
 def extract_text(html) -> str:
@@ -207,11 +263,18 @@ class ClassifiedLink:
     item_seq: int  # position in the reference's yielded-item order
 
 
+# memoized validity: pure function of the url string; link sets repeat
+# heavily within a worker (same hosts' pages link to the same urls), and
+# classify checks validity twice per link (target pass + seed pass).
+# urllib's own parse cache holds only 20 entries — useless at this fanout.
+_is_valid_url_cached = lru_cache(maxsize=1 << 16)(is_valid_url)
+
+
 def _target_links(links, target_patterns, current_depth) -> list[tuple[str, int]]:
     """crawl_manager_utils.py:88-106 — valid + matches target_patterns."""
     out = []
     for link in links:
-        if not is_valid_url(link):
+        if not _is_valid_url_cached(link):
             continue
         if matches_pattern(link, target_patterns):
             out.append((link, current_depth))
@@ -222,7 +285,7 @@ def _seed_links(links, seed_pattern, current_depth) -> list[tuple[str, int]]:
     """crawl_manager_utils.py:108-125 — valid + matches [seed_pattern]."""
     out = []
     for link in links:
-        if not is_valid_url(link):
+        if not _is_valid_url_cached(link):
             continue
         if seed_pattern and matches_pattern(link, [seed_pattern]):
             out.append((link, current_depth + 1))

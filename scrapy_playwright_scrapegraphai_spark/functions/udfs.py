@@ -219,6 +219,120 @@ def expand_pages(fetched: DataFrame) -> DataFrame:
     return fetched.select(*_EXPAND_IN_COLS).mapInPandas(_expand, EXPANDED_SCHEMA)
 
 
+# --- fused per-page parse: links + classification + text in ONE pass --------
+
+# parse_pages output: one row per fetched page. ``items`` holds the
+# classified child links (exploded JVM-side by ``explode_parsed``); page-
+# constant columns ride once per page instead of being duplicated per
+# link through the Arrow boundary.
+PARSED_SCHEMA = StructType(
+    [
+        StructField("discovery_seq", LongType()),
+        StructField("page_url", StringType()),
+        StructField("category", StringType()),
+        StructField("url_type", IntegerType()),
+        StructField("max_depth", IntegerType()),
+        StructField("target_patterns", ArrayType(StringType())),
+        StructField("seed_pattern", StringType()),
+        StructField("root_seed_id", IntegerType()),
+        StructField("found_count", IntegerType()),
+        StructField("text", StringType()),
+        StructField(
+            "items",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("url", StringType()),
+                        StructField("depth", IntegerType()),
+                        StructField("is_target", BooleanType()),
+                        StructField("item_seq", IntegerType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def parse_pages(fetched: DataFrame) -> DataFrame:
+    """Fetched frontier pages → one parsed row per page.
+
+    Fuses K1 link extraction (frontier_spider.py:186-212), P2-P6
+    classification with depth gating (crawl_manager_utils.py:18-125) AND
+    K2 text extraction into a SINGLE Arrow pass — the html bytes cross
+    the JVM→Python boundary exactly once per superstep and the HTML is
+    parsed exactly once (the previous design parsed every page twice:
+    once for links, once for text). Emits one row per input page even
+    when html is null/empty (text null, items empty) so fetch-success
+    bookkeeping can ride this output.
+    """
+    names = [f.name for f in PARSED_SCHEMA.fields]
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {n: [] for n in names}
+            for r in pdf.itertuples(index=False):
+                patterns = (
+                    list(r.target_patterns) if r.target_patterns is not None else []
+                )
+                if r.html is None:
+                    found: list = []
+                    items: list = []
+                    text = None
+                else:
+                    found, text = kernels.parse_page(r.html, r.url)
+                    items = kernels.classify_links(
+                        r.url, found, int(r.url_type), patterns,
+                        r.seed_pattern, int(r.depth), int(r.max_depth),
+                    )
+                cols["discovery_seq"].append(int(r.discovery_seq))
+                cols["page_url"].append(r.url)
+                cols["category"].append(r.category)
+                cols["url_type"].append(int(r.url_type))
+                cols["max_depth"].append(int(r.max_depth))
+                cols["target_patterns"].append(patterns)
+                cols["seed_pattern"].append(r.seed_pattern)
+                cols["root_seed_id"].append(int(r.root_seed_id))
+                cols["found_count"].append(len(found))
+                cols["text"].append(text)
+                cols["items"].append(
+                    [(i.url, i.depth, i.is_target, i.item_seq) for i in items]
+                )
+            yield pd.DataFrame(cols) if cols["page_url"] else pd.DataFrame(
+                {n: pd.Series(dtype="object") for n in names}
+            )
+
+    return fetched.select(*_EXPAND_IN_COLS).mapInPandas(_parse, PARSED_SCHEMA)
+
+
+def explode_parsed(parsed: DataFrame) -> DataFrame:
+    """parse_pages output → child-link rows (EXPANDED_SCHEMA + partition_id).
+
+    The explode is native columnar JVM work; ``partition_id`` (per-
+    partition lineage grain) is taken on the parsed-page rows.
+    """
+    return (
+        parsed.withColumn("partition_id", F.spark_partition_id())
+        .select(
+            "category", "url_type", "max_depth", "target_patterns",
+            "seed_pattern", "root_seed_id", "found_count", "partition_id",
+            F.col("page_url").alias("parent_url"),
+            F.col("discovery_seq").alias("parent_seq"),
+            F.explode("items").alias("_it"),
+        )
+        .select(
+            F.col("_it.url").alias("url"),
+            "category", "url_type",
+            F.col("_it.depth").alias("depth"),
+            "max_depth", "target_patterns", "seed_pattern",
+            F.col("_it.is_target").alias("is_target"),
+            "parent_url", "parent_seq",
+            F.col("_it.item_seq").alias("item_seq"),
+            "root_seed_id", "found_count", "partition_id",
+        )
+    )
+
+
 def with_main_domain(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Attach main_domain. Uses the urllib-parity pandas UDF; the native
     ``parse_url`` expression exists as a prefilter but urllib and Java

@@ -126,6 +126,44 @@ def assign_global_seq(
         return (out, out.count()) if with_count else out
 
     B = num_partitions or 2 * df.sparkSession.sparkContext.defaultParallelism
+
+    if mode == "plan":
+        # Zero-job variant: per-bucket offsets come from a running-sum
+        # window over the tiny B-row count aggregate, broadcast-joined
+        # back — the whole assignment is ONE lazy plan, no driver collect
+        # and no checkpoint barrier. Caller contract: ``df``'s lineage
+        # must already be deterministic (materialized upstream) because
+        # the offsets subtree and the rank subtree each evaluate it, and
+        # ``key_bound`` must be provided (no agg job to infer it).
+        assert key_bound is not None, "mode='plan' requires key_bound"
+        kb = max(int(key_bound), 1)
+        src = df.withColumn(
+            "_bkt",
+            F.expr(f"CAST(({order_cols[0]} * {B}) DIV {kb} AS INT)"),
+        )
+        counts = src.groupBy("_bkt").agg(F.count("*").alias("_cnt"))
+        w_off = (
+            Window.orderBy("_bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = counts.select(
+            "_bkt",
+            F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+        )
+        w = Window.partitionBy("_bkt").orderBy(*cols)
+        out = (
+            src.join(F.broadcast(offsets), on="_bkt")
+            .withColumn("_rn", F.row_number().over(w))
+            .withColumn(
+                "discovery_seq",
+                (F.lit(start) + F.col("_off") + F.col("_rn") - F.lit(1)).cast(
+                    "long"
+                ),
+            )
+            .drop("_bkt", "_rn", "_off")
+        )
+        return (out, None) if with_count else out
+
     src = df.localCheckpoint(eager=True)
     if key_bound is None:
         key_bound = (src.agg(F.max(cols[0])).collect()[0][0] or 0) + 1

@@ -108,11 +108,13 @@ class BloomShards:
         for row in deltas:
             self.bitmaps[row["shard"]] |= np.frombuffer(row["blob"], dtype=np.uint8)
 
-    def prefilter_maybe_seen(self, df: DataFrame, url_col: str = "url"):
-        """Split df into (maybe_seen, definitely_new) via broadcast probe.
+    def with_maybe_flag(self, df: DataFrame, url_col: str = "url") -> DataFrame:
+        """Append a boolean ``_maybe`` column (broadcast bitmap probe).
 
-        ``definitely_new`` rows need no exact anti-join (no false
-        negatives); ``maybe_seen`` rows go to the exact check.
+        Single-output form: callers that branch on the flag should
+        materialize this result ONCE (cache/localCheckpoint) before
+        filtering — ``prefilter_maybe_seen``'s two filtered branches
+        otherwise re-execute the whole upstream per branch.
         """
         spark = df.sparkSession
         bc = spark.sparkContext.broadcast(
@@ -146,9 +148,20 @@ class BloomShards:
         schema = StructType(
             list(with_flag.schema.fields) + [StructField("_maybe", BooleanType())]
         )
-        probed = with_flag.mapInPandas(_probe, schema)
-        maybe = probed.filter(F.col("_maybe")).drop("_u", "_s", "_maybe")
-        new = probed.filter(~F.col("_maybe")).drop("_u", "_s", "_maybe")
+        return with_flag.mapInPandas(_probe, schema).drop("_u", "_s")
+
+    def prefilter_maybe_seen(self, df: DataFrame, url_col: str = "url"):
+        """Split df into (maybe_seen, definitely_new) via broadcast probe.
+
+        ``definitely_new`` rows need no exact anti-join (no false
+        negatives); ``maybe_seen`` rows go to the exact check. NB: each
+        branch re-executes the upstream plan — materialize ``df`` first,
+        or use ``with_maybe_flag`` + one materialization (the driver's
+        hot path does the latter).
+        """
+        probed = self.with_maybe_flag(df, url_col)
+        maybe = probed.filter(F.col("_maybe")).drop("_maybe")
+        new = probed.filter(~F.col("_maybe")).drop("_maybe")
         return maybe, new
 
     def serialize(self) -> list[tuple[int, bytes]]:

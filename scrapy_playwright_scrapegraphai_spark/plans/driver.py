@@ -38,7 +38,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.udfs import expand_pages, extract_text_udf, main_domain_udf
+from ..functions.udfs import explode_parsed, main_domain_udf, parse_pages
 from ..operators import politeness
 from ..operators.frontier import (
     FRONTIER_COLUMNS,
@@ -73,6 +73,10 @@ class CrawlConfig:
     bloom_shards: int = 16
     expected_urls: int = 200_000     # bloom sizing hint
     max_supersteps: int = 1000
+    # admitted-batch size at or below which the fetch join pushes the URL
+    # list into the pages scan (parquet page-index / Iceberg metadata
+    # pruning) instead of streaming the whole table
+    lookup_pushdown_threshold: int = 4096
     profile: bool = False            # print per-phase wall times to stderr
 
 
@@ -106,6 +110,17 @@ class CrawlEngine:
         # Python stage in the politeness path); one tiny collect on the
         # broadcast-small robots dim
         self._native_robots = politeness.rules_are_regex_free(robots)
+        # parquet paths of committed new_rows whose urls are not yet OR-ed
+        # into the bloom shards (merged lazily before the next probe)
+        self._bloom_pending: list[str] = []
+        # the point-lookup fetch path pushes an In(url, [...]) predicate
+        # with up to lookup_pushdown_threshold values into the parquet
+        # scan; Spark only forwards exact In filters up to this conf
+        # (beyond it, a useless min/max range filter is pushed instead)
+        spark.conf.set(
+            "spark.sql.parquet.pushdown.inFilterThreshold",
+            str(max(10, self.cfg.lookup_pushdown_threshold)),
+        )
 
     # -- initial state ---------------------------------------------------------
 
@@ -142,7 +157,19 @@ class CrawlEngine:
         bloom = BloomShards.sized_for(self.cfg.expected_urls, self.cfg.bloom_shards)
         seen = frontier.filter(~F.col("is_root")).select("url")
         bloom.add_df(seen)
+        self._bloom_pending = []  # frontier already covers everything committed
         return bloom
+
+    def _flush_bloom_pending(self, spark: SparkSession,
+                             bloom: BloomShards) -> None:
+        """Merge deferred new-URL deltas into the bloom shards.
+
+        Called immediately before a probe; the terminal superstep (whose
+        new rows are never probed again) skips the merge entirely.
+        """
+        for path in self._bloom_pending:
+            bloom.add_df(spark.read.parquet(path).select("url"))
+        self._bloom_pending = []
 
     # -- delta fold (MERGE semantics; Iceberg stand-in) -------------------------
 
@@ -268,14 +295,19 @@ class CrawlEngine:
 
             return state, mark
 
+        _work_pred = (F.col("url_state") == "pending") & (
+            F.col("is_root") | ~F.col("is_target")
+        )
+        # one explicit count at (re)start; every later iteration reads the
+        # pending-work count off the frontier-advance Observation instead
+        # of running a dedicated scan job
+        n_pending = frontier.filter(_work_pred).count()
+
         while steps_run < max_steps:
             t0 = time.monotonic()
             _pstate, _mark = _mkphase()
-            work = frontier.filter(
-                (F.col("url_state") == "pending")
-                & (F.col("is_root") | ~F.col("is_target"))
-            )
-            if work.isEmpty():
+            work = frontier.filter(_work_pred)
+            if n_pending == 0:
                 done_meta = dict(self.store.read_manifest(step)["meta"])
                 done_meta.update({"next_seq": next_seq, "done": True})
                 self.store.update_meta(step, done_meta)
@@ -327,49 +359,87 @@ class CrawlEngine:
             # the unique discovery_seq — never a second pass over pages.
             obs_ok = Observation(f"fetch_{step}")
             page_content = self.pages.select("url", "html")
-            ok = (
-                page_content.join(F.broadcast(admitted), on="url", how="inner")
+            # small-batch point-lookup path: when the pending set is small
+            # (n_pending rides the previous advance Observation — no extra
+            # job), push the admitted URL list into the pages scan as an
+            # In predicate. With a sorted/page-indexed corpus (Iceberg
+            # metadata pruning at cluster scale) the scan decodes only the
+            # matching data pages instead of streaming the whole table —
+            # the difference between a seed superstep touching 50 rows and
+            # a full-corpus scan. Large batches keep the streaming scan.
+            if 0 < n_pending <= cfg.lookup_pushdown_threshold:
+                batch_urls = [
+                    r["url"] for r in admitted.select("url").collect()
+                ]
+                page_content = page_content.filter(
+                    F.col("url").isin(batch_urls)
+                )
+            fetched = page_content.join(
+                F.broadcast(admitted), on="url", how="inner"
+            )
+            _mark("fetch_join")
+
+            # K1 + K2 + P2–P6: ONE Arrow pass per page — link extraction,
+            # classification, and text extraction fused; html crosses the
+            # JVM→Python boundary exactly once per superstep. Cached: the
+            # page_text/lineage/updates reads below are cache scans, not
+            # re-parses.
+            parsed = (
+                parse_pages(fetched)
                 .observe(obs_ok, F.count(F.lit(1)).alias("n_ok"))
                 .cache()
             )
             failed = admitted.join(
-                F.broadcast(ok.select("discovery_seq")),
+                F.broadcast(parsed.select("discovery_seq")),
                 on="discovery_seq",
                 how="left_anti",
             )
-            _mark("fetch_join")
-
-            # K1 + P2–P6: extract + classify in one Arrow pass
-            children = expand_pages(ok).withColumn(
-                "partition_id", F.spark_partition_id()
-            ).cache()
+            children = explode_parsed(parsed)
 
             # J2 within-batch first-writer dedup (url-global, insertion order)
             batch = first_writer_dedup(
                 children, order_cols=["parent_seq", "item_seq"], key_cols=["url"]
             )
 
-            # J1 (+K5): seen check — bloom prefilter, exact anti-join confirm
+            # J1 (+K5): seen check — bloom prefilter, exact anti-join confirm.
+            # The probe FLAG rides the batch through ONE materialization
+            # barrier; branching before materializing would re-execute the
+            # parse+dedup pipeline once per branch. Bloom deltas from the
+            # previous superstep merge lazily here — only when a probe
+            # actually needs them (the terminal superstep never pays).
             seen = frontier.filter(~F.col("is_root"))
             if bloom is not None:
-                maybe, definitely_new = bloom.prefilter_maybe_seen(batch)
-                new = definitely_new.unionByName(anti_join_seen(maybe, seen))
+                self._flush_bloom_pending(spark, bloom)
+                batch = bloom.with_maybe_flag(batch)
+            batch = batch.localCheckpoint(eager=True)
+            if bloom is not None:
+                new = batch.filter(~F.col("_maybe")).drop("_maybe").unionByName(
+                    anti_join_seen(
+                        batch.filter(F.col("_maybe")).drop("_maybe"), seen
+                    )
+                )
             else:
                 new = anti_join_seen(batch, seen)
 
             new = new.drop("partition_id", "found_count")
-            new, n_new = assign_global_seq(
+            # 'plan' seq assignment: offsets are part of the lazy plan —
+            # no collect, no checkpoint; determinism holds because the
+            # upstream ``batch`` is materialized and ``seen`` is the
+            # localCheckpoint-ed frontier. n_new rides an Observation,
+            # resolved when the snapshot write evaluates new_rows.
+            seq_mode = "plan" if cfg.seq_mode == "ranged" else cfg.seq_mode
+            new = assign_global_seq(
                 new, ["parent_seq", "item_seq"], start=next_seq,
-                mode=cfg.seq_mode,
+                mode=seq_mode,
                 key_bound=next_seq,  # every parent_seq < current next_seq
-                with_count=True,     # rides the bucket-count pass — no extra job
             )
-            new_rows = finalize_new_rows(new, step).cache()
-            next_seq += n_new
+            obs_new = Observation(f"new_{step}")
+            new_rows = (
+                finalize_new_rows(new, step)
+                .observe(obs_new, F.count(F.lit(1)).alias("n_new"))
+                .cache()
+            )
             _mark("expand_dedup_seq")
-            if bloom is not None and n_new:
-                bloom.add_df(new_rows.select("url"))
-            _mark("bloom_add")
 
             # state transitions (F9 CASE semantics, queries.sql:66-74):
             # fetched → processed; missing page → retry then failed
@@ -377,7 +447,7 @@ class CrawlEngine:
             # → skipped. Parquet fallback for MERGE: join on unique
             # discovery_seq + coalesce; under Iceberg this is MERGE INTO.
             updates = (
-                ok.select(
+                parsed.select(
                     "discovery_seq",
                     F.lit("processed").alias("_new_state"),
                     F.lit(None).cast("string").alias("_new_error"),
@@ -427,32 +497,45 @@ class CrawlEngine:
                     "target_urls_found", "seed_urls_found", "total_urls_found",
                 )
             )
-            # observation values are final once the expansion/bloom jobs
-            # above evaluated the cached plans (sum() over empty → None)
+            # observation values for admission/fetch are final once the
+            # batch checkpoint evaluated those cached plans (sum() over
+            # empty → None); n_new resolves inside the snapshot write.
             adm = obs_adm.get
             n_work = adm["n_work"] or 0
             n_admitted = adm["n_admitted"] or 0
             n_denied = adm["n_denied"] or 0
             n_ok = obs_ok.get["n_ok"] or 0
             n_failed = n_admitted - n_ok
-            wall = time.monotonic() - t0
-            metrics_row = (
-                step, n_work, n_admitted, n_denied,
-                n_work - n_admitted - n_denied, n_ok, n_failed, n_new, wall,
-            )
-            metrics_rows.append(metrics_row)
             _mark("metrics_lineage")
 
             # atomic DELTA commit (Iceberg-MERGE stand-in): only the
             # state-transition rows + new frontier rows + lineage hit disk;
             # write cost is O(delta), never O(frontier). The per-step
-            # metrics row rides in the manifest meta.
-            # K2: per-fetched-page text extraction (north-rule invariant),
-            # committed as part of the same superstep delta
-            page_text = ok.select(
-                "discovery_seq", "url",
-                extract_text_udf(F.col("html")).alias("text"),
+            # metrics row rides in the manifest meta — built lazily AFTER
+            # the table writes so n_new can come off the new_rows
+            # Observation instead of a dedicated count job.
+            # K2: per-fetched-page text (north-rule invariant) — already
+            # extracted in the fused parse pass; this is a cache scan
+            page_text = parsed.select(
+                "discovery_seq", F.col("page_url").alias("url"), "text"
             )
+            commit: dict = {}
+
+            def _commit_meta() -> dict:
+                n_new = obs_new.get["n_new"] or 0
+                row = (
+                    step, n_work, n_admitted, n_denied,
+                    n_work - n_admitted - n_denied, n_ok, n_failed, n_new,
+                    time.monotonic() - t0,
+                )
+                commit["n_new"] = n_new
+                commit["metrics_row"] = row
+                return {
+                    "next_seq": next_seq + n_new,
+                    "done": False,
+                    "metrics": row,
+                }
+
             self.store.write_step(
                 step,
                 {
@@ -461,19 +544,33 @@ class CrawlEngine:
                     "lineage": step_lineage.coalesce(1),
                     "page_text": page_text,
                 },
-                {"next_seq": next_seq, "done": False, "metrics": metrics_row},
+                _commit_meta,
             )
+            n_new = commit["n_new"]
+            next_seq += n_new
+            metrics_rows.append(commit["metrics_row"])
             tables = self.store.read_manifest(step)["tables"]
             lineage_paths.append(tables["lineage"])
             text_paths.append(tables["page_text"])
             # advance the in-memory frontier; localCheckpoint truncates the
-            # growing plan without a full-table parquet round-trip
+            # growing plan without a full-table parquet round-trip. The
+            # next iteration's pending-work count rides this job.
+            obs_adv = Observation(f"advance_{step}")
             frontier = (
                 self._apply_updates(frontier, updates)
                 .unionByName(new_rows)
+                .observe(
+                    obs_adv,
+                    F.sum(F.when(_work_pred, 1).otherwise(0)).alias("n_pending"),
+                )
                 .localCheckpoint(eager=True)
             )
-            for df in (tagged, ok, children, new_rows):
+            n_pending = obs_adv.get["n_pending"] or 0
+            # bloom deltas for this step's new rows merge lazily from the
+            # just-committed new_rows parquet (see _flush_bloom_pending)
+            if bloom is not None and n_new:
+                self._bloom_pending.append(tables["new_rows"])
+            for df in (tagged, parsed, new_rows):
                 df.unpersist()
             _mark("snapshot_write")
             if cfg.profile:

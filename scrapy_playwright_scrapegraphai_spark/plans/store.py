@@ -40,13 +40,18 @@ class SnapshotStore:
     # -- commit protocol -------------------------------------------------------
 
     def write_step(self, step: int, tables: dict[str, DataFrame],
-                   meta: dict[str, Any]) -> None:
+                   meta: dict[str, Any] | Any) -> None:
         """Write all state tables for ``step``, then the manifest (last).
 
         Tables are written CONCURRENTLY (Spark schedules jobs from
         multiple driver threads); the commit point is still the single
         manifest rename after every write has finished, so atomicity is
         unchanged — a kill mid-write leaves no manifest.
+
+        ``meta`` may be a callable evaluated AFTER the table writes and
+        before the manifest rename — for meta fields (row counts via
+        Observations) that only become known once the writes have
+        executed the plans.
         """
         step_dir = self._step_dir(step)
         if os.path.exists(step_dir):  # stale partial write from a killed run
@@ -63,6 +68,8 @@ class SnapshotStore:
         with ThreadPoolExecutor(max_workers=max(1, len(tables))) as pool:
             for name, path in pool.map(_write, tables.items()):
                 written[name] = path
+        if callable(meta):
+            meta = meta()
         manifest = {"step": step, "tables": written, "meta": meta}
         tmp = self._manifest_path(step) + ".tmp"
         with open(tmp, "w") as fh:

@@ -61,7 +61,12 @@ def generate_bench_corpus(
     import datetime as dt
 
     epoch = dt.datetime(2024, 11, 15)
-    writer = pq.ParquetWriter(path, schema)
+    # page indexes (parquet ColumnIndex/OffsetIndex): the data is written
+    # clustered by host with tight per-page url min/max, so a pushed-down
+    # In(url, [...]) predicate from the engine's small-batch lookup path
+    # skips whole data pages — a point fetch decodes ~none of the html of
+    # non-matching rows instead of the full corpus
+    writer = pq.ParquetWriter(path, schema, write_page_index=True)
     buf = {k: [] for k in ("url", "warc_ts", "html", "text", "lang")}
     ts = 0
 

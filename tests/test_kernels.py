@@ -240,3 +240,71 @@ def test_substring_match_parity(url, pat):
 def test_extract_never_raises_on_garbage(b):
     K.extract_links(b, "https://h.t/")
     K.extract_text(b)
+
+
+# --- fast href resolver: exact urljoin equivalence ----------------------------
+
+_HREF_CHARS = st.sampled_from(
+    [chr(c) for c in range(0x09, 0x0E)]
+    + [chr(c) for c in range(0x20, 0x7F)]
+    + [chr(c) for c in range(0xE0, 0x100)]
+)
+
+
+@given(
+    st.sampled_from(
+        [
+            "http://h.example.test/a/b",
+            "https://User:p@Host.TEST:8080/x/y/z?q=1#f",
+            "HTTPS://host/",
+            "http://host",
+            "ftp://host/dir/",
+            "weird-scheme://x/p",
+            "http://host/p;param?q#frag",
+        ]
+    ),
+    st.text(alphabet=_HREF_CHARS, min_size=1, max_size=40),
+)
+def test_resolver_matches_urljoin(base, href):
+    from urllib.parse import urljoin
+
+    assert K._make_resolver(base)(href) == urljoin(base, href)
+
+
+@given(st.text(alphabet=_HREF_CHARS, min_size=1, max_size=40))
+def test_resolver_matches_urljoin_slash_paths(href):
+    """Bias the generator onto the fast path's gate boundary. urljoin
+    itself can raise (e.g. ValueError on '//[' pseudo-IPv6 hosts); the
+    contract is result-or-exception equivalence."""
+    from urllib.parse import urljoin
+
+    base = "https://h.example.test/a/b?x=1"
+    resolve = K._make_resolver(base)
+
+    def outcome(fn, *a):
+        try:
+            return ("ok", fn(*a))
+        except Exception as e:
+            return ("err", type(e))
+
+    for h in ("/" + href, "/." + href, "/.." + href, "//" + href,
+              "/" + href + "/.", "/" + href + "/.."):
+        assert outcome(resolve, h) == outcome(urljoin, base, h)
+
+
+def test_parse_page_fused_equals_separate_kernels():
+    html = (
+        b"<html><body><p>Hello  world</p>"
+        b'<a href="/a/1">x</a><a href="page/2">y</a>'
+        b'<a href="/a/../up">z</a><a href="//proto.rel/p">w</a>'
+        b'<a href="https://abs.example/q">v</a>'
+        b'<div class="modal"><a href="/modal/1">m</a></div>'
+        b"<script>var a=1;</script><style>.x{}</style>"
+        b"<p>tail</p></body></html>"
+    )
+    base = "https://h.example.test/dir/page"
+    links, text = K.parse_page(html, base)
+    assert links == K.extract_links(html, base)
+    assert text == K.extract_text(html)
+    assert "var a=1;" not in text and "Hello  world" in text
+    assert links.count("https://h.example.test/modal/1") == 2  # modal re-emit
