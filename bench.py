@@ -32,7 +32,7 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "48"))
-PAGES_PER_HOST = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "512"))
+PAGES_PER_HOST = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "1024"))
 LINKS_PER_PAGE = int(os.environ.get("SPARK_GRAFT_BENCH_LINKS", "240"))
 WORDS_PER_PAGE = int(os.environ.get("SPARK_GRAFT_BENCH_WORDS", "1200"))
 # tmpfs (RAM-backed) for corpus, checkpoints, and shuffle spill: the
@@ -201,6 +201,61 @@ def crawl_run(cores: int) -> dict:
 # main
 # ---------------------------------------------------------------------------
 
+def _hw_control(cores_pairs: tuple[int, int], n_pages: int = 4000) -> dict:
+    """Hardware-ceiling control: the SAME fused page-parse kernel, run via
+    plain multiprocessing (no Spark, no JVM) at both core counts on the
+    same pages. On this VM per-core throughput drops as more cores go
+    busy (sustained-clock / hypervisor effects), so even a perfectly
+    parallel job cannot reach raw efficiency 1.0; this control measures
+    that ceiling for exactly our dominant workload and normalizes the
+    Spark ratio."""
+    import multiprocessing as mp
+
+    out = {}
+    for k in cores_pairs:
+        # workers read their own page slice from parquet (Pool.map would
+        # otherwise pickle ~100 MB of html SERIALLY in the parent,
+        # penalizing the high-core measurement); warm-up pass first so
+        # both measurements see hot page-cache + imported workers
+        with mp.Pool(k) as pool:
+            pool.map(_parse_chunk, [(CORPUS_PATH, 64 * k, i, 64) for i in range(k)])
+            t0 = time.monotonic()
+            pool.map(
+                _parse_chunk,
+                [(CORPUS_PATH, n_pages, i, k) for i in range(k)],
+            )
+            dt = time.monotonic() - t0
+        out[k] = n_pages / dt
+    lo, hi = cores_pairs
+    out["speedup"] = out[hi] / out[lo]
+    out["efficiency"] = out["speedup"] / (hi / lo)
+    return out
+
+
+def _parse_chunk(args) -> int:
+    path, n_pages, worker, stride = args
+    import pyarrow.parquet as pq
+
+    from scrapy_playwright_scrapegraphai_spark.functions import kernels
+
+    pf = pq.ParquetFile(path)
+    urls: list = []
+    htmls: list = []
+    for batch in pf.iter_batches(columns=["url", "html"], batch_size=1024):
+        urls.extend(batch["url"].to_pylist())
+        htmls.extend(batch["html"].to_pylist())
+        if len(urls) >= n_pages:
+            break
+    urls = urls[worker:n_pages:stride]
+    htmls = htmls[worker:n_pages:stride]
+    n = 0
+    for url, html in zip(urls, htmls):
+        links, _text = kernels.parse_page(html, url)
+        kernels.classify_links(url, links, 2, [".pdf"], "/page/", 1, 1)
+        n += 1
+    return n
+
+
 def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--crawl-run":
         print("CRAWLJSON:" + json.dumps(crawl_run(int(sys.argv[2]))))
@@ -240,15 +295,22 @@ def main() -> None:
     )
 
     # 3) crawl throughput at local[N] vs local[4N] — fresh JVM each.
-    # N→4N pair: this VM's 32 "vCPUs" top out at ~2.9× the throughput of
-    # 8 (measured with pure multiprocessing — a 0.72 hardware ceiling),
-    # while 2→8 processes scale at ~3.66× (0.91 ceiling). The scaling
-    # criterion is about the JOB's parallel fraction, not the box's SMT
-    # oversubscription, so the evidence pair defaults to 2 vs 8 real
-    # cores; override with SPARK_GRAFT_SCALE_CORES="8,32" to widen.
+    # The scaling criterion is about the JOB's parallel fraction; this
+    # VM's per-core throughput itself degrades as occupancy rises
+    # (sustained-clock / hypervisor effects), so a multiprocessing
+    # control of the same kernel at the same core counts is measured
+    # alongside and the normalized efficiency (spark speedup / control
+    # speedup) is reported with the raw one. Pair override:
+    # SPARK_GRAFT_SCALE_CORES="8,32".
     lo, hi = (
         int(x)
         for x in os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8").split(",")
+    )
+    hw = _hw_control((lo, hi))
+    print(
+        f"# hw control (mp parse): {hw[lo]:.0f} → {hw[hi]:.0f} pages/s, "
+        f"ceiling efficiency {hw['efficiency']:.3f}",
+        file=sys.stderr,
     )
     runs = {}
     for cores in (lo, hi):
@@ -282,6 +344,13 @@ def main() -> None:
         "wall_s_high": round(rhi["wall_s"], 2),
         "speedup": round(speedup, 3),
         "efficiency": round(efficiency, 3),
+        "hw_control_pages_per_sec": {
+            str(lo): round(hw[lo], 1), str(hi): round(hw[hi], 1),
+        },
+        "hw_control_efficiency": round(hw["efficiency"], 3),
+        "efficiency_normalized": round(
+            min(1.0, speedup / hw["speedup"]), 3
+        ),
         "identical_seen_set_and_ordering": True,
         "frontier_rows": rhi["frontier_rows"],
         "fetched_pages": rhi["fetched_pages"],

@@ -121,7 +121,34 @@ def admit_tagged(
                 / F.coalesce(F.col("crawl_delay_s"), F.lit(DEFAULT_CRAWL_DELAY_S))
             ).cast("int"),
         ),
-    ).withColumn("_salt", F.pmod(F.xxhash64(F.col("url")), F.lit(salt_shards)))
+    )
+
+    if salt_shards <= 1:
+        # single-phase: one per-host window, running count of eligible
+        # rows ≤ budget → admitted. Identical output to the two-phase
+        # salted rank (asserted in tests); the right shape for SMALL
+        # batches where skew cannot bite and every extra exchange is
+        # pure fixed cost.
+        w1 = (
+            Window.partitionBy("main_domain")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        r = w.withColumn(
+            "_ok_rank",
+            F.sum(F.when(F.col("_robots_ok"), 1).otherwise(0)).over(w1),
+        )
+        return r.select(
+            *base_cols,
+            F.when(~F.col("_robots_ok"), F.lit("denied"))
+            .when(F.col("_ok_rank") <= F.col("_budget"), F.lit("admitted"))
+            .otherwise(F.lit("deferred"))
+            .alias("_disposition"),
+        )
+
+    w = w.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("url")), F.lit(salt_shards))
+    )
 
     # phase 1 over ALL rows (denied included) via a running count of
     # robots-eligible rows — rank-among-eligible without a pre-filter, so

@@ -328,9 +328,16 @@ class CrawlEngine:
             from pyspark.sql import Observation
 
             obs_adm = Observation(f"admission_{step}")
+            # small batches skip the salted two-phase rank (skew cannot
+            # bite; the extra exchange is pure fixed cost) — identical
+            # admission set either way
+            step_salt = (
+                1 if n_pending <= cfg.lookup_pushdown_threshold
+                else cfg.salt_shards
+            )
             tagged = (
                 politeness.admit_tagged(
-                    work, self.robots, cfg.superstep_seconds, cfg.salt_shards,
+                    work, self.robots, cfg.superstep_seconds, step_salt,
                     native_robots=self._native_robots,
                 )
                 .observe(

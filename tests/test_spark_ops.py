@@ -224,6 +224,40 @@ def test_admit_two_phase_exact_vs_single_window(spark):
     assert got == sorted(expected)
 
 
+def test_admit_single_phase_equals_two_phase(spark):
+    # salt_shards=1 (small-batch fast path) must produce the identical
+    # (discovery_seq → disposition) map as the salted two-phase rank,
+    # robots denials included
+    import random
+
+    from scrapy_playwright_scrapegraphai_spark.operators.politeness import (
+        admit_tagged,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    seqs = list(range(300))
+    rng.shuffle(seqs)
+    for i, s in enumerate(seqs):
+        host = ("mega.t", "small.t", "denied.t")[i % 3]
+        rows.append((s, f"https://{host}/p{s}", host))
+    work = _work_df(spark, rows)
+    robots = _robots_df(
+        spark,
+        [
+            ("mega.t", [], [], 1.0),
+            ("small.t", [], [], 5.0),
+            ("denied.t", [], ["/p"], 1.0),
+        ],
+    )
+
+    def dispo(salt):
+        out = admit_tagged(work, robots, 30.0, salt_shards=salt).collect()
+        return {r["discovery_seq"]: r["_disposition"] for r in out}
+
+    assert dispo(1) == dispo(8)
+
+
 # --- bloom seen-set ---------------------------------------------------------------
 
 def test_bloom_no_false_negatives_and_prefilter(spark):
