@@ -25,12 +25,23 @@ from scrapy_playwright_scrapegraphai_spark import entry_queries as EQ
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    EQ.ensure_worker_imports(spark)
     return EQ.q_politeness_topk(spark, "/root/testdata/sf0.001")
+
+
+def _with_pyfiles(fn: Callable) -> Callable:
+    # the harness creates the SparkSession and may run from any cwd; ship
+    # the package to Python workers before the first UDF executes
+    def wrapped(spark: SparkSession, sf: str) -> DataFrame:
+        EQ.ensure_worker_imports(spark)
+        return fn(spark, sf)
+
+    return wrapped
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(EQ.QUERIES)
+    return {k: _with_pyfiles(fn) for k, fn in EQ.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

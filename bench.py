@@ -268,6 +268,10 @@ def main() -> None:
 
     spark = make_spark(CPUS, "sps-bench-queries")
     spark.sparkContext.setLogLevel("ERROR")
+    # untimed warmup: absorbs one-time session costs (codegen, committer
+    # init, python worker spawn, parquet footer reads) so the FIRST timed
+    # query doesn't carry them
+    EQ.QUERIES["politeness_topk"](spark, SF_DIR).count()
     qtimes: dict[str, float] = {}
     for name in HEADLINE:
         fn = EQ.QUERIES[name]

@@ -26,6 +26,42 @@ from .operators import similarity as S
 from .sources.tables import load_table
 
 
+_PYFILES_ADDED: set = set()
+
+
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Ship this package to Spark's Python workers (``--py-files`` story).
+
+    UDFs that reference package functions are cloudpickled BY REFERENCE;
+    a worker spawned by a driver whose cwd/sys.path doesn't include the
+    repo cannot import them. On a cluster this is exactly
+    ``spark-submit --py-files pkg.zip``; for a harness-created local
+    session we build the zip on the fly and ``addPyFile`` it once per
+    SparkContext.
+    """
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _PYFILES_ADDED:
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"sps_pkg_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    sc.addPyFile(zpath)
+    _PYFILES_ADDED.add(key)
+
+
 def _t(spark, sf, name):
     return load_table(spark, sf, name)
 
