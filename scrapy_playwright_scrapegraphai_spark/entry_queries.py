@@ -898,6 +898,76 @@ SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
 
 
 # ===========================================================================
+# multimodal binary-column plumbing (operators/multimodal.py)
+# ===========================================================================
+
+def _media_table(spark, sf) -> DataFrame:
+    """documents → media rows: the text bytes stand in for opaque media
+    payloads (deterministic; the sandbox ships no codecs). Schema and
+    batch shapes match MEDIA_SCHEMA — the real 100 TB layout."""
+    d = _t(spark, sf, "documents")
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        ((F.col("n_chars") % 5000) + 1).cast("int").alias("duration_ms"),
+    )
+
+
+def q_multimodal_features(spark, sf):
+    """Binary payload → mapInPandas feature extraction (multimodal.py
+    extract_features: Arrow batches of opaque bytes, typed struct out).
+    Output quantities (n_bytes from inside the Python worker, payload
+    md5) are exactly oracle-checkable; the float feature vector itself
+    rides the same pass and is validated in pytest."""
+    from .operators import multimodal as M
+
+    media = _media_table(spark, sf)
+    feats = M.extract_features(media).select("media_id", "kind", "n_bytes")
+    hashes = media.select(
+        "media_id", F.md5(F.col("payload")).alias("payload_md5")
+    )
+    return feats.join(hashes, on="media_id")
+
+
+SQL_MULTIMODAL_FEATURES = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+"""
+
+
+def q_multimodal_frame_plan(spark, sf):
+    """Video frame-sampling schedule (multimodal.py frame_sample_plan):
+    metadata-only — the payload column is never scanned (column pruning),
+    one row per (media_id, ts_ms) to decode."""
+    from .operators import multimodal as M
+
+    plan = M.frame_sample_plan(_media_table(spark, sf), every_ms=1000)
+    return plan.select("media_id", F.col("ts_ms").cast("long").alias("ts_ms"))
+
+
+# duration_ms = (n_chars % 5000) + 1 ∈ [1, 5000] → sample instants are a
+# fixed 5-element grid (DuckDB's generate_series cannot lateral-join on a
+# column, so the grid is unnested and filtered instead)
+SQL_MULTIMODAL_FRAME_PLAN = """
+SELECT doc_id AS media_id, CAST(s.ts AS BIGINT) AS ts_ms
+FROM documents, (SELECT unnest([0, 1000, 2000, 3000, 4000]) AS ts) s
+WHERE doc_id % 3 = 2 AND s.ts <= (n_chars % 5000)
+"""
+
+
+# ===========================================================================
 # registry
 # ===========================================================================
 
@@ -941,6 +1011,8 @@ QUERIES = {
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
     "lang_distribution": q_lang_distribution,
+    "multimodal_features": q_multimodal_features,
+    "multimodal_frame_plan": q_multimodal_frame_plan,
 }
 
 ORACLE_SQL = {
@@ -983,4 +1055,6 @@ ORACLE_SQL = {
     "text_langid": SQL_TEXT_LANGID,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "lang_distribution": SQL_LANG_DISTRIBUTION,
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "multimodal_frame_plan": SQL_MULTIMODAL_FRAME_PLAN,
 }
