@@ -77,17 +77,42 @@ def first_writer_dedup(
     )
 
 
-def anti_join_seen(candidates: DataFrame, seen: DataFrame) -> DataFrame:
+def anti_join_seen(
+    candidates: DataFrame,
+    seen: DataFrame,
+    broadcast_candidates: bool = True,
+    unique_urls: bool = False,
+) -> DataFrame:
     """J1: drop candidates whose ``url`` already exists in the seen set.
 
     Exactness is non-negotiable (north rule: final URL-seen set must match
     the reference); the bloom shards in ``seenset.py`` are a *prefilter*
     only — false positives are re-checked here, never dropped.
-    At scale both sides are hash-partitioned on ``xxhash64(url)`` so AQE
-    plans a co-partitioned shuffle join; with a small candidate batch the
-    join flips to broadcast automatically.
+
+    Default plan (``broadcast_candidates=True``): the candidate batch is
+    politeness-bounded, hence broadcastable BY DESIGN, while the seen set
+    is the 10^10-row side. A plain left-anti would shuffle the SEEN side
+    (Spark cannot broadcast the left of a left-anti), so instead:
+    (1) hits = seen ⋉ broadcast(candidate urls) — the big side STREAMS
+    map-side, zero shuffle, and Iceberg bucket/bloom metadata can prune
+    the scan; (2) candidates anti-join broadcast(hits) — hits ≤ batch,
+    also shuffle-free. ``unique_urls=True`` (engine hot path: the batch
+    is first-writer-deduped and the frontier is url-unique by J1/J2)
+    skips the defensive distincts, making the whole plan shuffle-FREE.
+    ``broadcast_candidates=False`` falls back to the co-partitioned
+    shuffle join for unbounded candidate sets.
     """
-    return candidates.join(seen.select("url").distinct(), on="url", how="left_anti")
+    if not broadcast_candidates:
+        return candidates.join(
+            seen.select("url").distinct(), on="url", how="left_anti"
+        )
+    cand_urls = candidates.select("url")
+    seen_urls = seen.select("url")
+    if not unique_urls:
+        cand_urls = cand_urls.distinct()
+        seen_urls = seen_urls.distinct()
+    hits = seen_urls.join(F.broadcast(cand_urls), on="url", how="inner")
+    return candidates.join(F.broadcast(hits), on="url", how="left_anti")
 
 
 def assign_global_seq(

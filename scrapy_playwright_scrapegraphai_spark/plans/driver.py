@@ -422,11 +422,12 @@ class CrawlEngine:
             if bloom is not None:
                 new = batch.filter(~F.col("_maybe")).drop("_maybe").unionByName(
                     anti_join_seen(
-                        batch.filter(F.col("_maybe")).drop("_maybe"), seen
+                        batch.filter(F.col("_maybe")).drop("_maybe"), seen,
+                        unique_urls=True,  # batch deduped, frontier url-unique
                     )
                 )
             else:
-                new = anti_join_seen(batch, seen)
+                new = anti_join_seen(batch, seen, unique_urls=True)
 
             new = new.drop("partition_id", "found_count")
             # 'plan' seq assignment: offsets are part of the lazy plan —
