@@ -113,7 +113,9 @@ def test_metrics_identical(engine_result, oracle_result):
 
 def test_extracted_text_byte_identical(spark, corpus_spark, corpus, engine_result):
     """North-rule per-row invariant: engine text == oracle text, per url,
-    for every page the crawl actually fetched."""
+    for every page the crawl actually fetched. Checks BOTH the standalone
+    UDF and the engine's actually-committed page_text snapshot output
+    (the fused parse path)."""
     pages_df, _, _ = corpus_spark
     fetched_urls = engine_result.frontier.filter(
         F.col("url_state") == "processed"
@@ -126,6 +128,23 @@ def test_extracted_text_byte_identical(spark, corpus_spark, corpus, engine_resul
     assert len(texts) > 0
     for r in texts:
         assert r["engine_text"].encode("utf-8") == r["text"].encode("utf-8")
+
+    # committed snapshot output: every fetched page appears exactly once
+    # with byte-identical text
+    paths = engine_result.extra.get("page_text_paths") or []
+    assert paths, "engine committed no page_text tables"
+    committed = spark.read.parquet(*paths).select("url", "text")
+    oracle_text = {r["url"]: r["text"] for r in
+                   pages_df.join(fetched_urls, "url").select("url", "text").collect()}
+    rows = committed.collect()
+    # page_text covers all fetched-ok pages (processed ⊆ fetched-ok)
+    got = {}
+    for r in rows:
+        assert r["url"] not in got, f"duplicate page_text row for {r['url']}"
+        got[r["url"]] = r["text"]
+    for url, otext in oracle_text.items():
+        assert url in got, f"missing page_text for fetched {url}"
+        assert (got[url] or "").encode("utf-8") == (otext or "").encode("utf-8")
 
 
 def test_states_cover_reference_enum(engine_result):
