@@ -897,6 +897,17 @@ SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
 """
 
 
+def q_knn_ivf(spark, sf):
+    """IVF approximate top-5 (second ANN scale path beside LSH: probe
+    nprobe nearest coarse cells only; operators/similarity.py:knn_ivf).
+    Rows-only driver check; recall vs exact knn verified in pytest."""
+    e = _t(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.knn_ivf(e, queries, k=5, num_cells=16, nprobe=4)
+
+
 # ===========================================================================
 # multimodal binary-column plumbing (operators/multimodal.py)
 # ===========================================================================
@@ -1006,6 +1017,7 @@ QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "knn_lsh": q_knn_lsh,
+    "knn_ivf": q_knn_ivf,
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,

@@ -170,3 +170,33 @@ def test_knn_lsh_recall(emb):
         if r["rank"] == 1:
             pass
     assert {r["query_id"] for r in approx} == {r["query_id"] for r in exact}
+
+
+def test_knn_ivf_recall_and_determinism(emb):
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.knn_bruteforce(emb, queries, k=5).collect()
+    a1 = S.knn_ivf(emb, queries, k=5, num_cells=16, nprobe=4).collect()
+    a2 = S.knn_ivf(
+        emb.repartition(7), queries, k=5, num_cells=16, nprobe=4
+    ).collect()
+    key = lambda rows: sorted(
+        (r["query_id"], r["neighbor_id"], r["dot"], r["rank"]) for r in rows
+    )
+    assert key(a1) == key(a2)  # bit-stable across physical partitioning
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    ivf_set = {(r["query_id"], r["neighbor_id"]) for r in a1}
+    recall = len(exact_set & ivf_set) / len(exact_set)
+    # probing 4/16 cells of a label-clustered corpus
+    assert recall >= 0.4, f"IVF recall {recall}"
+    assert {r["query_id"] for r in a1} == {r["query_id"] for r in exact}
+
+
+def test_ivf_assignment_partitions_corpus(emb):
+    cent, assign = S.ivf_cells(emb, num_cells=8)
+    n = emb.count()
+    rows = assign.collect()
+    assert len(rows) == n  # every vector in exactly one cell
+    cells = {r["cell"] for r in rows}
+    assert cells <= {r["cell"] for r in cent.collect()}
