@@ -77,6 +77,9 @@ class CrawlConfig:
     # list into the pages scan (parquet page-index / Iceberg metadata
     # pruning) instead of streaming the whole table
     lookup_pushdown_threshold: int = 4096
+    # pending-batch size up to which the admitted side is broadcast into
+    # the fetch join; beyond it AQE chooses the join strategy from stats
+    broadcast_admitted_threshold: int = 2_000_000
     profile: bool = False            # print per-phase wall times to stderr
 
 
@@ -381,9 +384,16 @@ class CrawlEngine:
                 page_content = page_content.filter(
                     F.col("url").isin(batch_urls)
                 )
-            fetched = page_content.join(
-                F.broadcast(admitted), on="url", how="inner"
+            # broadcast the admitted batch only while it is plausibly
+            # broadcast-sized; a multi-million-row admitted wave on a big
+            # cluster should let AQE pick sort-merge vs broadcast from
+            # runtime stats instead of being forced
+            adm_side = (
+                F.broadcast(admitted)
+                if n_pending <= cfg.broadcast_admitted_threshold
+                else admitted
             )
+            fetched = page_content.join(adm_side, on="url", how="inner")
             _mark("fetch_join")
 
             # K1 + K2 + P2–P6: ONE Arrow pass per page — link extraction,
