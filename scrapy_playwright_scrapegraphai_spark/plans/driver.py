@@ -113,9 +113,9 @@ class CrawlEngine:
         # Python stage in the politeness path); one tiny collect on the
         # broadcast-small robots dim
         self._native_robots = politeness.rules_are_regex_free(robots)
-        # parquet paths of committed new_rows whose urls are not yet OR-ed
-        # into the bloom shards (merged lazily before the next probe)
-        self._bloom_pending: list[str] = []
+        # in-flight background bloom merges: (thread, {"err": ...}) pairs;
+        # joined before the next probe (see _flush_bloom_pending)
+        self._bloom_pending: list = []
         # the point-lookup fetch path pushes an In(url, [...]) predicate
         # with up to lookup_pushdown_threshold values into the parquet
         # scan; Spark only forwards exact In filters up to this conf
@@ -163,15 +163,40 @@ class CrawlEngine:
         self._bloom_pending = []  # frontier already covers everything committed
         return bloom
 
+    def _start_bloom_merge(self, spark: SparkSession, bloom: BloomShards,
+                           path: str) -> None:
+        """OR the committed new_rows' urls into the shards on a background
+        thread — overlaps with the frontier advance and the next step's
+        politeness/fetch planning. At most one merge is ever in flight
+        (the flush below joins before the next probe), so the bitmap
+        mutation is race-free."""
+        import threading
+
+        state = {"err": None}
+
+        def run():
+            try:
+                bloom.add_df(spark.read.parquet(path).select("url"))
+            except BaseException as e:  # noqa: BLE001 — must not lose it
+                state["err"] = e
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        self._bloom_pending.append((t, state))
+
     def _flush_bloom_pending(self, spark: SparkSession,
                              bloom: BloomShards) -> None:
-        """Merge deferred new-URL deltas into the bloom shards.
+        """Wait for deferred bloom merges before a probe.
 
-        Called immediately before a probe; the terminal superstep (whose
-        new rows are never probed again) skips the merge entirely.
+        A lost merge would give the bloom a FALSE NEGATIVE (an already-
+        seen url claimed definitely-new → duplicate frontier row), so a
+        failed background merge re-raises here. The terminal superstep
+        never probes again and never pays the wait.
         """
-        for path in self._bloom_pending:
-            bloom.add_df(spark.read.parquet(path).select("url"))
+        for t, state in self._bloom_pending:
+            t.join()
+            if state["err"] is not None:
+                raise state["err"]
         self._bloom_pending = []
 
     # -- delta fold (MERGE semantics; Iceberg stand-in) -------------------------
@@ -584,10 +609,11 @@ class CrawlEngine:
                 .localCheckpoint(eager=True)
             )
             n_pending = obs_adv.get["n_pending"] or 0
-            # bloom deltas for this step's new rows merge lazily from the
-            # just-committed new_rows parquet (see _flush_bloom_pending)
+            # bloom deltas for this step's new rows merge in the
+            # background from the just-committed new_rows parquet;
+            # _flush_bloom_pending joins before the next probe
             if bloom is not None and n_new:
-                self._bloom_pending.append(tables["new_rows"])
+                self._start_bloom_merge(spark, bloom, tables["new_rows"])
             for df in (tagged, parsed, new_rows):
                 df.unpersist()
             _mark("snapshot_write")
