@@ -4,13 +4,17 @@ One superstep = one declarative DataFrame program (Catalyst-optimized),
 mirroring the reference's event loop semantics (SURVEY.md §3):
 
     pending work ──politeness rank (W2)──► admitted
-    admitted ──fetch join vs pages (J3)──► ok / failed(retry)
-    ok ──expand_pages: extract+classify Arrow UDF (K1,P2-P6)──► children
-    children ──first-writer dedup (J2)──► batch
-    batch ──bloom prefilter + exact anti-join seen (J1/K5)──► new URLs
-    new ──dense discovery_seq──► frontier append (S4)
-    + per-superstep metrics & per-partition lineage (S6/A4)
-    + atomic snapshot commit (checkpoint/resume)
+    admitted ──fetch join vs pages (J3; In-pushdown for small batches)──►
+    fetched ──parse_pages: ONE Arrow pass (K1+K2 links+text, P2-P6
+              classify)──► parsed (cached) ──explode──► children
+    children ──first-writer dedup (J2)──► batch ──bloom probe flag (K5)──►
+    batch' ──single localCheckpoint barrier──► shuffle-free anti-join
+              seen (J1) ──► new ──plan-mode dense discovery_seq──►
+    frontier append (S4)
+    + per-superstep metrics (Observations — no dedicated count jobs)
+    + per-partition lineage (S6/A4) + page text, all in one atomic
+      snapshot commit (checkpoint/resume); bloom deltas merge on a
+      background thread before the next probe
 
 The reference's recursion (frontier_spider.py:246-260 re-yields Requests
 for seeds below max_depth) becomes the driver-side ``while`` loop; its
@@ -26,8 +30,11 @@ Scale notes (10^10-URL design point):
   under Iceberg the same commit is MERGE + append. The working frontier
   advances in memory (localCheckpoint truncates lineage); resume folds the
   committed deltas over the step-0 base.
-- no collect() of row data ever; only tiny aggregates (counts, shard
-  blobs, partition offsets) reach the driver.
+- no collect() of row data ever; only tiny aggregates (Observation
+  metrics, bloom shard blobs) reach the driver — with one deliberate
+  exception: a politeness-bounded SMALL batch's URL list is collected to
+  push an In predicate into the pages scan (point-lookup path; the list
+  is bounded by ``lookup_pushdown_threshold``).
 """
 
 from __future__ import annotations
