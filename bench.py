@@ -106,6 +106,7 @@ def make_spark(cores: int, app: str):
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
 
@@ -141,25 +142,42 @@ def crawl_run(cores: int) -> dict:
     robots = spark.createDataFrame(
         [tuple(r.values()) for r in robots_rows], ROBOTS_DDL
     )
-    # warm-up: one trivial write + pandas-UDF round amortizes one-time JVM
-    # costs (Hadoop committer init, codegen, Python worker spawn) so the
-    # timed section measures steady-state throughput at both core counts
-    import tempfile as _tf
-
-    from scrapy_playwright_scrapegraphai_spark.functions.udfs import main_domain_udf
-
-    warm = spark.createDataFrame(
-        [(f"https://warm{i}.test/x",) for i in range(64)], "url string"
-    ).withColumn("md", main_domain_udf(F.col("url")))
-    warm.write.mode("overwrite").parquet(_tf.mkdtemp(prefix="sps_warm_") + "/w")
-
-    ckpt = tempfile.mkdtemp(prefix=f"sps_bench_ckpt_{cores}_", dir=BENCH_TMP)
     cfg = CrawlConfig(
         superstep_seconds=1e6,  # politeness budget ≫ frontier → max admission
         expected_urls=2_000_000,
         seq_mode="ranged",
         profile=os.environ.get("SPARK_GRAFT_PROFILE", "") == "1",
     )
+
+    # warm-up: an UNTIMED micro-crawl over the warm corpus (identical hub
+    # pages + 3 pages per host) compiles every superstep plan shape in this
+    # JVM — wholestage-codegen classes, window/join execs, the Python
+    # worker pool, the Hadoop committer — with the same embedded literals
+    # as the timed crawl (same seeds → same In-list and next_seq). First-
+    # plan-execution costs are seconds each and purely serial, so leaving
+    # them in the timed section would understate scaling efficiency at
+    # BOTH core counts while measuring JIT state, not the engine. Standard
+    # steady-state benchmarking practice; documented in BASELINE.md.
+    from scrapy_playwright_scrapegraphai_spark.sources.bench_corpus import (
+        warm_corpus_path,
+    )
+
+    import shutil as _sh
+
+    # retry_times=0 skips the warm-up's pointless retry superstep (56k
+    # frontier rows re-ranked to fetch pages that aren't in the micro
+    # corpus); only the tiny updates-CASE subtree differs from the timed
+    # crawl's plans, everything else matches literal-for-literal
+    warm_cfg = CrawlConfig(
+        superstep_seconds=1e6, expected_urls=2_000_000, seq_mode="ranged",
+        retry_times=0,
+    )
+    warm_ckpt = tempfile.mkdtemp(prefix=f"sps_warm_ckpt_{cores}_", dir=BENCH_TMP)
+    warm_pages = spark.read.parquet(warm_corpus_path(CORPUS_PATH))
+    CrawlEngine(spark, warm_pages, seeds, robots, warm_ckpt, warm_cfg).run()
+    _sh.rmtree(warm_ckpt, ignore_errors=True)
+
+    ckpt = tempfile.mkdtemp(prefix=f"sps_bench_ckpt_{cores}_", dir=BENCH_TMP)
     t0 = time.monotonic()
     result = CrawlEngine(spark, pages, seeds, robots, ckpt, cfg).run()
     wall = time.monotonic() - t0
@@ -352,9 +370,13 @@ def main() -> None:
             str(lo): round(hw[lo], 1), str(hi): round(hw[hi], 1),
         },
         "hw_control_efficiency": round(hw["efficiency"], 3),
+        # clamped headline + unclamped ratio: values > 1.0 mean the control
+        # measurement itself was noise-depressed; reporting both makes the
+        # normalization's own noise band visible instead of hiding it
         "efficiency_normalized": round(
             min(1.0, speedup / hw["speedup"]), 3
         ),
+        "efficiency_normalized_unclamped": round(speedup / hw["speedup"], 3),
         "identical_seen_set_and_ordering": True,
         "frontier_rows": rhi["frontier_rows"],
         "fetched_pages": rhi["fetched_pages"],

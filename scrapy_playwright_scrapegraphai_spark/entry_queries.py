@@ -402,12 +402,14 @@ FROM orders
 
 def q_duration_epoch(spark, sf):
     """F6 (queries.sql:113-116): EXTRACT(EPOCH FROM end-start) — seconds
-    since the first event, as bigint."""
+    since the first event, as bigint. The 1-row min aggregate is
+    broadcast-cross-joined (the oracle SQL's scalar subquery shape) — ONE
+    job, no driver collect."""
     ev = _t(spark, sf, "events")
-    t0 = ev.agg(F.min(F.unix_timestamp("ts"))).collect()[0][0]
-    return ev.select(
+    t0 = ev.agg(F.min(F.unix_timestamp("ts")).alias("_t0"))
+    return ev.crossJoin(F.broadcast(t0)).select(
         "event_id",
-        (F.unix_timestamp("ts") - F.lit(t0)).cast("long").alias("elapsed_s"),
+        (F.unix_timestamp("ts") - F.col("_t0")).cast("long").alias("elapsed_s"),
     )
 
 
@@ -700,19 +702,142 @@ WHERE 2 * shared >= 1 * (ca.n_sh + cb.n_sh - shared)
 """
 
 
+def q_dedup_ngram_jaccard_capped(spark, sf):
+    """The ENGINE-path n-gram Jaccard: document-frequency skew guard
+    active (max_shingle_df=4 — shingles shared by >4 docs are dropped
+    before the self-join; they are exactly the quadratic hot keys at
+    100 TB). The cap semantics are deterministic and mirrored in the
+    oracle SQL, so this is a full value check of the guarded plan;
+    ``dedup_ngram_jaccard`` above stays the exact (uncapped) verifier."""
+    d = _t(spark, sf, "documents")
+    return D.ngram_jaccard_pairs(
+        d, n=3, threshold_num=1, threshold_den=2, max_shingle_df=4
+    ).select("doc_a", "doc_b", "shared", "n_a", "n_b")
+
+
+SQL_DEDUP_NGRAM_JACCARD_CAPPED = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), shingled AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[i:i+2], ' ') AS sh
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+  WHERE len(t) >= 3
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(t, ' ') AS sh FROM toks WHERE len(t) < 3
+), counts AS (
+  SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY doc_id
+), hot AS (
+  SELECT sh FROM shingled GROUP BY sh HAVING count(*) > 4
+), kept AS (
+  SELECT doc_id, sh FROM shingled WHERE sh NOT IN (SELECT sh FROM hot)
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared, ca.n_sh AS n_a, cb.n_sh AS n_b
+FROM shared
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE 2 * shared >= 1 * (ca.n_sh + cb.n_sh - shared)
+"""
+
+
 def q_dedup_minhash_lsh(spark, sf):
-    """MinHash+LSH candidate pairs (sketch — not SQL-expressible with a
-    portable hash; pytest verifies recall vs exact Jaccard). Rows-only
-    driver check."""
+    """MinHash+LSH candidate pairs. The md5-derived universal-hash family
+    (operators/dedup.py:_hash_pair) is portable, so the DuckDB oracle
+    recomputes every 64-slot signature, bands it identically, and must
+    produce the exact same candidate set — a full rows+schema+hash check
+    of the sketch, not a rows-only count."""
     d = _t(spark, sf, "documents")
     return D.minhash_lsh_candidates(d, num_hashes=64, bands=16, shingle_n=3)
 
 
+# The oracle rebuilds the MinHash signatures in SQL:
+# DuckDB md5_number_upper(s) == int.from_bytes(md5(s)[:8],'little') (= a),
+# md5_number_lower(s) == bytes 8:16 (= b); sig_i = min (a + i*b) mod M over
+# the doc's distinct 3-gram shingles; band key = 4 consecutive sig values
+# joined with '-'; candidates = distinct same-band collisions.
+SQL_DEDUP_MINHASH_LSH = """
+WITH toks AS (
+  SELECT doc_id AS doc, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc, array_to_string(t[i:i+2], ' ') AS s
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+  WHERE len(t) >= 3
+  UNION
+  SELECT DISTINCT doc, array_to_string(t, ' ') AS s FROM toks WHERE len(t) < 3
+), h AS (
+  SELECT doc,
+         CAST(md5_number_upper(s) & 2305843009213693951 AS HUGEINT) AS a,
+         CAST((md5_number_lower(s) | 1) & 2305843009213693951 AS HUGEINT) AS b
+  FROM sh
+), sig AS (
+  SELECT doc, i.i AS i, MIN((a + i.i * b) % 2305843009213693951) AS sig_i
+  FROM h, unnest(generate_series(0, 63)) AS i(i)
+  GROUP BY doc, i.i
+), bands AS (
+  SELECT doc, CAST(i // 4 AS INT) AS band_idx,
+         string_agg(sig_i::VARCHAR, '-' ORDER BY i) AS band_hash
+  FROM sig GROUP BY doc, i // 4
+)
+SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+FROM bands x
+JOIN bands y ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+            AND x.doc < y.doc
+"""
+
+
 def q_dedup_simhash(spark, sf):
-    """SimHash banded hamming≤3 pairs (sketch; pytest-verified). Rows-only
-    driver check."""
+    """SimHash banded hamming≤3 pairs. Per-shingle hash = md5[:8]
+    little-endian (== DuckDB md5_number_upper), so the oracle recomputes
+    the 64-bit signatures, the 4×16-bit pigeonhole chunks and the exact
+    hamming filter — full value check."""
     d = _t(spark, sf, "documents")
-    return D.simhash_candidates(d, max_hamming=3, shingle_n=1)
+    return D.simhash_candidates(d, max_hamming=3, shingle_n=1).select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+SQL_DEDUP_SIMHASH = """
+WITH toks AS (
+  SELECT doc_id AS doc, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc, u.s FROM toks, unnest(t) AS u(s)
+), h AS (
+  SELECT doc, md5_number_upper(s) AS hv FROM sh
+), nsh AS (
+  SELECT doc, count(*) AS n FROM h GROUP BY doc
+), bits AS (
+  SELECT doc, j.j AS j, SUM(CAST((hv >> j.j) & 1 AS HUGEINT)) AS ones
+  FROM h, unnest(generate_series(0, 63)) AS j(j)
+  GROUP BY doc, j.j
+), usig AS (
+  SELECT b.doc,
+         SUM(CASE WHEN 2 * b.ones > n.n
+                  THEN CAST(1 AS HUGEINT) << b.j
+                  ELSE CAST(0 AS HUGEINT) END) AS u
+  FROM bits b JOIN nsh n ON b.doc = n.doc GROUP BY b.doc
+), ssig AS (
+  SELECT doc, u,
+         CAST(CASE WHEN u >= 9223372036854775808
+                   THEN u - 18446744073709551616
+                   ELSE u END AS BIGINT) AS sig
+  FROM usig
+), chunks AS (
+  SELECT doc, sig,
+         c.c AS chunk_idx, CAST((u >> (16 * c.c)) & 65535 AS BIGINT) AS chunk
+  FROM ssig, unnest(generate_series(0, 3)) AS c(c)
+), pairs AS (
+  SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b, x.sig AS sa, y.sig AS sb
+  FROM chunks x
+  JOIN chunks y ON x.chunk_idx = y.chunk_idx AND x.chunk = y.chunk
+               AND x.doc < y.doc
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
+"""
 
 
 # ===========================================================================
@@ -753,10 +878,16 @@ SELECT query_id, neighbor_id, dot, rank FROM (
 
 
 def q_embedding_dup_pairs(spark, sf):
-    """Embedding near-dups: quantized cosine ≥ 0.9 via pure int64
-    inequality (operators/similarity.py:cosine_dup_pairs)."""
+    """Embedding near-dups via the exact small-scale VERIFIER: quantized
+    cosine ≥ 0.3 through a pure int64 inequality
+    (operators/similarity.py:cosine_dup_pairs_exact_smallscale). The 0.3
+    threshold yields a non-trivial pair set on the driver testdata (992
+    pairs at sf0.01) so the oracle comparison exercises real rows — the
+    round-1 0.9 threshold matched on an empty result."""
     e = _t(spark, sf, "embeddings")
-    return S.cosine_dup_pairs(e, threshold_num=9, threshold_den=10)
+    return S.cosine_dup_pairs_exact_smallscale(
+        e, threshold_num=3, threshold_den=10
+    )
 
 
 SQL_EMBEDDING_DUP_PAIRS = """
@@ -774,18 +905,146 @@ FROM n a JOIN n b ON a.vid < b.vid
 WHERE CAST(list_dot_product(a.qv, b.qv) AS BIGINT) > 0
   AND 100 * CAST(list_dot_product(a.qv, b.qv) AS BIGINT)
           * CAST(list_dot_product(a.qv, b.qv) AS BIGINT)
-      >= 81 * a.nn * b.nn
+      >= 9 * a.nn * b.nn
 """
 
 
+# shared plane literals for the portable (oracle-checkable) LSH forms —
+# generated once driver-side and embedded in BOTH the Spark plan and the
+# SQL text, so both engines project onto the identical ±1 matrices
+_KNN_LSH_PLANES = None
+_GATED_PLANES_TABLES = None
+
+
+def _knn_lsh_planes():
+    global _KNN_LSH_PLANES
+    if _KNN_LSH_PLANES is None:
+        _KNN_LSH_PLANES = S.portable_planes(4, 64, seed=42)
+    return _KNN_LSH_PLANES
+
+
+def _gated_planes_tables():
+    global _GATED_PLANES_TABLES
+    if _GATED_PLANES_TABLES is None:
+        _GATED_PLANES_TABLES = [
+            S.portable_planes(8, 64, seed=42 + 1000 * t) for t in range(2)
+        ]
+    return _GATED_PLANES_TABLES
+
+
+def _planes_values_sql(planes, table_idx=None) -> str:
+    rows = []
+    for p, pl in enumerate(planes):
+        lit = "[" + ", ".join(str(s) for s in pl) + "]"
+        rows.append(
+            f"({table_idx}, {p}, {lit})" if table_idx is not None
+            else f"({p}, {lit})"
+        )
+    return ", ".join(rows)
+
+
 def q_knn_lsh(spark, sf):
-    """Approximate top-5 via random-hyperplane LSH buckets — the 10^9-vector
-    scale path (recall pytest-verified vs brute force). Rows-only check."""
+    """Approximate top-5 via random-hyperplane LSH buckets — the
+    10^9-vector scale path. Portable ±1 plane matrix + integer
+    projections over the quantized vectors, so the DuckDB oracle computes
+    the identical buckets, candidates and ranks — full value check
+    (recall vs brute force additionally pytest-verified)."""
     e = _t(spark, sf, "embeddings")
     queries = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return S.knn_lsh(e, queries, k=5, num_planes=4)
+    return S.knn_lsh(e, queries, k=5, num_planes=4, planes=_knn_lsh_planes())
+
+
+def _sql_knn_lsh() -> str:
+    return f"""
+WITH planes(p, pv) AS (
+  SELECT * FROM (VALUES {_planes_values_sql(_knn_lsh_planes())}) AS pl(p, pv)
+), v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(x * 1000.0) AS BIGINT)) AS qv
+  FROM embeddings
+), proj AS (
+  SELECT vec_id, p,
+         list_sum(list_transform(list_zip(qv, pv), x -> x[1] * x[2])) AS pr
+  FROM v CROSS JOIN planes
+), buck AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << p
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+), q AS (
+  SELECT v.vec_id AS query_id, v.qv, b.bucket
+  FROM v JOIN buck b ON v.vec_id = b.vec_id WHERE v.vec_id < 10
+), c AS (
+  SELECT v.vec_id AS neighbor_id, v.qv AS cv, b.bucket
+  FROM v JOIN buck b ON v.vec_id = b.vec_id
+), scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         CAST(list_dot_product(q.qv, c.cv) AS BIGINT) AS dot
+  FROM q JOIN c ON q.bucket = c.bucket
+)
+SELECT query_id, neighbor_id, dot, rank FROM (
+  SELECT query_id, neighbor_id, dot,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_embedding_dup_pairs_gated(spark, sf):
+    """DEFAULT embedding-dedup op: LSH bucket gate (2 tables × 8 portable
+    planes) → exact integer-cosine verify
+    (operators/similarity.py:lsh_gated_cosine_dup_pairs). Output ⊆ the
+    exact verifier by construction; deterministic, so the oracle rebuilds
+    the identical gated pair set in SQL."""
+    e = _t(spark, sf, "embeddings")
+    return S.lsh_gated_cosine_dup_pairs(
+        e, threshold_num=3, threshold_den=10, num_planes=8,
+        planes_tables=_gated_planes_tables(),
+    )
+
+
+def _sql_embedding_dup_pairs_gated() -> str:
+    pt = _gated_planes_tables()
+    vals = ", ".join(
+        _planes_values_sql(planes, table_idx=t) for t, planes in enumerate(pt)
+    )
+    return f"""
+WITH planes(t, p, pv) AS (
+  SELECT * FROM (VALUES {vals}) AS pl(t, p, pv)
+), v AS (
+  SELECT vec_id AS vid,
+         list_transform(embedding, x -> CAST(floor(x * 1000.0) AS BIGINT)) AS qv
+  FROM embeddings
+), n AS (
+  SELECT vid, qv, CAST(list_dot_product(qv, qv) AS BIGINT) AS nn FROM v
+), proj AS (
+  SELECT vid, t, p,
+         list_sum(list_transform(list_zip(qv, pv), x -> x[1] * x[2])) AS pr
+  FROM v CROSS JOIN planes
+), buck AS (
+  SELECT vid, t,
+         CAST(SUM(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << p
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vid, t
+), cand AS (
+  SELECT DISTINCT x.vid AS id_a, y.vid AS id_b
+  FROM buck x
+  JOIN buck y ON x.t = y.t AND x.bucket = y.bucket AND x.vid < y.vid
+)
+SELECT c.id_a, c.id_b,
+       CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot,
+       a.nn AS n_a, b.nn AS n_b
+FROM cand c
+JOIN n a ON a.vid = c.id_a
+JOIN n b ON b.vid = c.id_b
+WHERE CAST(list_dot_product(a.qv, b.qv) AS BIGINT) > 0
+  AND 100 * CAST(list_dot_product(a.qv, b.qv) AS BIGINT)
+          * CAST(list_dot_product(a.qv, b.qv) AS BIGINT)
+      >= 9 * a.nn * b.nn
+"""
 
 
 # ===========================================================================
@@ -900,12 +1159,58 @@ SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
 def q_knn_ivf(spark, sf):
     """IVF approximate top-5 (second ANN scale path beside LSH: probe
     nprobe nearest coarse cells only; operators/similarity.py:knn_ivf).
-    Rows-only driver check; recall vs exact knn verified in pytest."""
+    The whole path is integer-exact and deterministic (seed codebook =
+    lowest-16 ids, argmin squared-L2 in int64), so the oracle recomputes
+    cells, probes and ranks identically — full value check. Recall vs
+    exact knn additionally verified in pytest."""
     e = _t(spark, sf, "embeddings")
     queries = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return S.knn_ivf(e, queries, k=5, num_cells=16, nprobe=4)
+
+
+SQL_KNN_IVF = """
+WITH v AS (
+  SELECT vec_id AS vid,
+         list_transform(embedding, x -> CAST(floor(x * 1000.0) AS BIGINT)) AS qv
+  FROM embeddings
+), n AS (
+  SELECT vid, qv, CAST(list_dot_product(qv, qv) AS BIGINT) AS nn FROM v
+), cent AS (
+  SELECT vid AS cell, qv AS cv, nn AS cn FROM n ORDER BY vid LIMIT 16
+), assign AS (
+  SELECT vid, cell, qv FROM (
+    SELECT n.vid, c.cell, n.qv,
+           row_number() OVER (
+             PARTITION BY n.vid
+             ORDER BY (n.nn - 2 * CAST(list_dot_product(n.qv, c.cv) AS BIGINT)
+                       + c.cn) ASC, c.cell ASC) AS r
+    FROM n CROSS JOIN cent c
+  ) WHERE r = 1
+), q AS (
+  SELECT vid AS query_id, qv, nn AS qn FROM n WHERE vid < 10
+), probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY (q.qn - 2 * CAST(list_dot_product(q.qv, c.cv) AS BIGINT)
+                       + c.cn) ASC, c.cell ASC) AS r
+    FROM q CROSS JOIN cent c
+  ) WHERE r <= 4
+), scored AS (
+  SELECT p.query_id, a.vid AS neighbor_id,
+         CAST(list_dot_product(p.qv, a.qv) AS BIGINT) AS dot
+  FROM probes p JOIN assign a ON p.cell = a.cell
+)
+SELECT query_id, neighbor_id, dot, rank FROM (
+  SELECT query_id, neighbor_id, dot,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
 
 
 # ===========================================================================
@@ -1012,10 +1317,12 @@ QUERIES = {
     "tpch_q3_like": q_tpch_q3_like,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "knn_bruteforce": q_knn_bruteforce,
     "embedding_dup_pairs": q_embedding_dup_pairs,
+    "embedding_dup_pairs_gated": q_embedding_dup_pairs_gated,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "text_tokens": q_text_tokens,
@@ -1057,11 +1364,14 @@ ORACLE_SQL = {
     "tpch_q3_like": SQL_TPCH_Q3_LIKE,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
-    # dedup_minhash_lsh, dedup_simhash, knn_lsh: sketches with
-    # non-portable hashes — rows-only driver check; pytest verifies
-    # recall against the exact operators.
+    "dedup_ngram_jaccard_capped": SQL_DEDUP_NGRAM_JACCARD_CAPPED,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
+    "embedding_dup_pairs_gated": _sql_embedding_dup_pairs_gated(),
+    "knn_lsh": _sql_knn_lsh(),
+    "knn_ivf": SQL_KNN_IVF,
     "text_tokens": SQL_TEXT_TOKENS,
     "text_quality": SQL_TEXT_QUALITY,
     "text_langid": SQL_TEXT_LANGID,

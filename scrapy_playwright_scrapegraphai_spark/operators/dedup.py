@@ -38,7 +38,16 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _hash_pair(data: bytes) -> tuple[int, int]:
-    d = hashlib.blake2b(data, digest_size=16).digest()
+    """Per-shingle universal-hash parameters (a, b) from md5.
+
+    md5 (not blake2b) so an independent SQL engine can recompute the
+    identical signature: DuckDB's ``md5_number_upper(s)`` equals
+    ``int.from_bytes(md5(s)[:8], 'little')`` and ``md5_number_lower(s)``
+    equals bytes 8:16 — the driver's oracle check recomputes every
+    MinHash/SimHash signature in SQL from these. Stable across processes
+    and PYTHONHASHSEED.
+    """
+    d = hashlib.md5(data).digest()
     return (
         int.from_bytes(d[:8], "little") & _MERSENNE,
         (int.from_bytes(d[8:], "little") | 1) & _MERSENNE,
@@ -181,6 +190,10 @@ def minhash_lsh_candidates(
             F.col(text_col)
         ).alias("sig"),
     )
+    # band key = the band's signature values joined as a string — portable
+    # (the SQL oracle rebuilds the identical key; xxhash64 of the slice
+    # would be Spark-only). At cluster scale wrap it in md5() to bound the
+    # shuffle key width; collision semantics are unchanged.
     banded = sig.select(
         "doc",
         F.explode(
@@ -188,7 +201,13 @@ def minhash_lsh_candidates(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band_idx"),
-                    F.xxhash64(F.slice("sig", b * F.lit(r) + 1, r)).alias("band_hash"),
+                    F.concat_ws(
+                        "-",
+                        F.transform(
+                            F.slice("sig", b * F.lit(r) + 1, r),
+                            lambda v: v.cast("string"),
+                        ),
+                    ).alias("band_hash"),
                 ),
             )
         ).alias("bb"),
@@ -218,11 +237,11 @@ def make_simhash_udf(shingle_n: int = 1):
                     out.append(None)
                     continue
                 shingles = _shingles(t, shingle_n)
+                # md5[:8] little-endian == DuckDB md5_number_upper — the
+                # oracle SQL recomputes the identical signature
                 hs = np.array(
                     [
-                        int.from_bytes(
-                            hashlib.blake2b(sh, digest_size=8).digest(), "little"
-                        )
+                        int.from_bytes(hashlib.md5(sh).digest()[:8], "little")
                         for sh in shingles
                     ],
                     dtype=np.uint64,
@@ -336,25 +355,33 @@ def ngram_jaccard_pairs(
     ).distinct()
     counts = shingled.groupBy("doc").agg(F.count("*").alias("n_sh"))
     if max_shingle_df is not None:
+        # skew guard: shingles shared by more than max_shingle_df docs
+        # (boilerplate/templates) are dropped BEFORE the self-join — they
+        # are exactly the quadratic hot keys. No broadcast hint: the hot
+        # list is usually tiny but is corpus-dependent, so AQE picks the
+        # join strategy from its runtime size.
         hot = (
             shingled.groupBy("sh")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") > max_shingle_df)
             .select("sh")
         )
-        shingled = shingled.join(F.broadcast(hot), "sh", "left_anti")
+        shingled = shingled.join(hot, "sh", "left_anti")
     a, b = shingled.alias("a"), shingled.alias("b")
     shared = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count("*").alias("shared"))
     )
+    # per-doc count tables are corpus-sized (one row per doc) — never
+    # force-broadcast them; the surviving `shared` pair set is usually the
+    # small side and AQE broadcasts it instead
     ca = counts.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
     p, q = threshold_num, threshold_den
     return (
-        shared.join(F.broadcast(ca), "doc_a")
-        .join(F.broadcast(cb), "doc_b")
+        shared.join(ca, "doc_a")
+        .join(cb, "doc_b")
         .filter(
             F.lit(q) * F.col("shared")
             >= F.lit(p) * (F.col("n_a") + F.col("n_b") - F.col("shared"))

@@ -76,7 +76,7 @@ def knn_bruteforce(
     )
 
 
-def cosine_dup_pairs(
+def cosine_dup_pairs_exact_smallscale(
     embeddings: DataFrame,
     threshold_num: int = 9,
     threshold_den: int = 10,
@@ -84,11 +84,14 @@ def cosine_dup_pairs(
     vec_col: str = "embedding",
     scale: int = 1000,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: quantized cosine ≥ p/q.
+    """Embedding near-duplicate pairs: quantized cosine ≥ p/q — the
+    SMALL-SCALE VERIFIER, deliberately O(n²).
 
     cos ≥ p/q ⟺ dot ≥ 0 ∧ q²·dot² ≥ p²·n_a·n_b — all int64, no sqrt,
-    no FP. Self-join with id_a < id_b. At scale, gate with the LSH
-    sketch first (``hyperplane_buckets``); here the corpus fits.
+    no FP. The non-equi self-join (id_a < id_b) plans as a nested-loop
+    cross product: correct and exact, but quadratic — use it to measure
+    the recall of the scale path, never as the pipeline op. The default
+    embedding-dedup op is ``lsh_gated_cosine_dup_pairs`` below.
     """
     v = embeddings.select(
         F.col(id_col).alias("vid"), quantize_expr(F.col(vec_col), scale).alias("qv")
@@ -111,21 +114,135 @@ def cosine_dup_pairs(
     ).select("id_a", "id_b", "dot", "n_a", "n_b")
 
 
+# backwards-compatible name; the default pipeline op is the gated form
+cosine_dup_pairs = cosine_dup_pairs_exact_smallscale
+
+
+def lsh_gated_cosine_dup_pairs(
+    embeddings: DataFrame,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+    num_planes: int = 8,
+    num_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    seed: int = 42,
+    planes_tables: list[list[list[int]]] | None = None,
+) -> DataFrame:
+    """DEFAULT embedding-dedup op: LSH bucket join → exact integer-cosine
+    verify.
+
+    Candidates are pairs that share a hyperplane-sign bucket in ANY of
+    ``num_tables`` independent tables (recall 1-(1-r)^T for per-table
+    collision rate r); each candidate is then verified with the SAME
+    integer inequality as the exact op, so the output is always a SUBSET
+    of ``cosine_dup_pairs_exact_smallscale`` (asserted in tests, recall
+    measured). At 10^9 vectors the pair space is bucket-local
+    (~n²/2^planes per table) instead of n² — the standard dedup-by-
+    embedding shape for a 100 TB corpus.
+
+    ``planes_tables`` (list of ``portable_planes`` matrices, one per
+    table) selects the integer-exact portable form the SQL oracle can
+    recompute; None uses the xxhash64 Rademacher planes (seeded per
+    table), no stored matrix.
+    """
+    if planes_tables is not None:
+        num_tables = len(planes_tables)
+    v = embeddings.select(
+        F.col(id_col).alias("vid"),
+        quantize_expr(F.col(vec_col), scale).alias("qv"),
+        F.col(vec_col).alias("_vec"),
+    ).withColumn("n", sq_norm_expr(F.col("qv")))
+    cand = None
+    for t in range(num_tables):
+        planes = planes_tables[t] if planes_tables is not None else None
+        b = hyperplane_buckets(
+            v, num_planes, "vid", "_vec", seed=seed + 1000 * t, planes=planes,
+            scale=scale,
+        )
+        bv = v.join(b, "vid").select("vid", "qv", "n", "bucket")
+        a2, b2 = bv.alias("a"), bv.alias("b")
+        pairs_t = a2.join(
+            b2,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        ).select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.col("a.qv").alias("qa"),
+            F.col("b.qv").alias("qb"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        cand = pairs_t if cand is None else cand.unionByName(pairs_t)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
+    p, q = threshold_num, threshold_den
+    scored = cand.withColumn("dot", int_dot_expr(F.col("qa"), F.col("qb")))
+    return scored.filter(
+        (F.col("dot") > 0)
+        & (
+            F.lit(q * q) * F.col("dot") * F.col("dot")
+            >= F.lit(p * p) * F.col("n_a") * F.col("n_b")
+        )
+    ).select("id_a", "id_b", "dot", "n_a", "n_b")
+
+
+def portable_planes(num_planes: int, dim: int, seed: int = 42) -> list[list[int]]:
+    """Deterministic ±1 (Rademacher) hyperplane matrix from md5.
+
+    Generated driver-side once (num_planes × dim ints — trivially small
+    even for thousands of planes) and embedded as literals in BOTH the
+    Spark plan and the SQL oracle, so an independent engine computes the
+    identical buckets. Sign(p, d) = +1 iff the first md5 byte of
+    "{seed}:{p}:{d}" is even.
+    """
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()[0] % 2 == 0
+            else -1
+            for d in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
 def hyperplane_buckets(
     embeddings: DataFrame,
     num_planes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    planes: list[list[int]] | None = None,
+    scale: int = 1000,
 ) -> DataFrame:
-    """Random-hyperplane LSH sketch: 16-bit sign signature per vector.
+    """Random-hyperplane LSH sketch: sign signature per vector.
 
-    Deterministic planes: plane p's coefficient for dimension d is
-    derived from xxhash64(seed, p, d) mapped to ±1 (a Rademacher
-    projection — JVM-side, no Python, no stored plane matrix). Output
-    (id, bucket) — equal buckets ⇒ angular-similarity candidates; recall
-    is tested against brute force.
+    Two equivalent plane sources:
+    - ``planes=None`` (scale default): plane p's coefficient for
+      dimension d is derived from xxhash64(seed, p, d) mapped to ±1 (a
+      Rademacher projection — JVM-side, no Python, no stored plane
+      matrix, float accumulate).
+    - explicit ``planes`` (e.g. from ``portable_planes``): projections
+      run over the quantized INTEGER vector, so the bucket is bit-stable
+      across engines and summation orders — the oracle-checkable form.
+    Output (id, bucket) — equal buckets ⇒ angular-similarity candidates;
+    recall is tested against brute force.
     """
+    sig = F.lit(0).cast("long")
+    if planes is not None:
+        qv = quantize_expr(F.col(vec_col), scale)
+        for p, plane in enumerate(planes):
+            proj = int_dot_expr(
+                qv, F.array(*[F.lit(s).cast("long") for s in plane])
+            )
+            sig = sig + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return embeddings.select(F.col(id_col), sig.alias("bucket"))
+
     dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
 
     def _rademacher(plane: int):
@@ -135,7 +252,6 @@ def hyperplane_buckets(
             F.lit(1.0),
         ).otherwise(F.lit(-1.0))
 
-    sig = F.lit(0).cast("long")
     for p in range(num_planes):  # num_planes is small and static → unroll
         proj = F.aggregate(
             F.zip_with(F.col(vec_col), dim_idx, _rademacher(p)),
@@ -156,17 +272,21 @@ def knn_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    planes: list[list[int]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: brute-force only within matching LSH buckets.
 
     The scale path: bucket join replaces the cross join; with B buckets
     the scored pair space shrinks ~B×. Returns the same schema as
-    ``knn_bruteforce``; recall measured in tests.
+    ``knn_bruteforce``; recall measured in tests. Pass ``planes`` (from
+    ``portable_planes``) for the integer-exact oracle-checkable form.
     """
-    cb = hyperplane_buckets(embeddings, num_planes, id_col, vec_col, seed)
+    cb = hyperplane_buckets(
+        embeddings, num_planes, id_col, vec_col, seed, planes=planes
+    )
     qb = hyperplane_buckets(
         queries.withColumnRenamed("query_id", id_col), num_planes, id_col,
-        vec_col, seed,
+        vec_col, seed, planes=planes,
     ).withColumnRenamed(id_col, "query_id")
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),

@@ -161,12 +161,17 @@ class CrawlEngine:
             .select(*FRONTIER_COLUMNS)
         )
 
-    def _build_bloom(self, frontier: DataFrame) -> BloomShards | None:
+    def _build_bloom(
+        self, frontier: DataFrame, known_empty: bool = False
+    ) -> BloomShards | None:
         if not self.cfg.use_bloom:
             return None
         bloom = BloomShards.sized_for(self.cfg.expected_urls, self.cfg.bloom_shards)
-        seen = frontier.filter(~F.col("is_root")).select("url")
-        bloom.add_df(seen)
+        if not known_empty:
+            seen = frontier.filter(~F.col("is_root")).select("url")
+            bloom.add_df(seen)
+        # else: a fresh start's frontier holds only root rows (excluded from
+        # the seen set by construction) — skip the empty-scan Spark job
         self._bloom_pending = []  # frontier already covers everything committed
         return bloom
 
@@ -209,15 +214,24 @@ class CrawlEngine:
     # -- delta fold (MERGE semantics; Iceberg stand-in) -------------------------
 
     @staticmethod
-    def _apply_updates(frontier: DataFrame, updates: DataFrame) -> DataFrame:
+    def _apply_updates(
+        frontier: DataFrame, updates: DataFrame, hint_broadcast: bool = False
+    ) -> DataFrame:
         """MERGE the per-step state-transition delta into the frontier.
 
-        Parquet fallback for Iceberg ``MERGE INTO``: broadcast join on the
-        unique ``discovery_seq`` + coalesce per column (queries.sql:66-74
-        CASE semantics are already baked into the delta rows).
+        Parquet fallback for Iceberg ``MERGE INTO``: join on the unique
+        ``discovery_seq`` + coalesce per column (queries.sql:66-74 CASE
+        semantics are already baked into the delta rows).
+
+        ``hint_broadcast`` is set by the caller only when the delta is
+        known politeness-bounded and small; otherwise AQE picks the join
+        strategy from runtime stats — a multi-million-row superstep delta
+        on a big cluster must never be force-broadcast (same failure mode
+        as the admitted-side broadcast fixed in commit 2e5ee76).
         """
+        upd = F.broadcast(updates) if hint_broadcast else updates
         return (
-            frontier.join(F.broadcast(updates), on="discovery_seq", how="left")
+            frontier.join(upd, on="discovery_seq", how="left")
             .withColumn(
                 "url_state", F.coalesce(F.col("_new_state"), F.col("url_state"))
             )
@@ -287,23 +301,59 @@ class CrawlEngine:
         spark, cfg = self.spark, self.cfg
         max_steps = max_supersteps or cfg.max_supersteps
 
+        _work_pred = (F.col("url_state") == "pending") & (
+            F.col("is_root") | ~F.col("is_target")
+        )
+
         latest = self.store.latest_step() if resume else None
-        if latest is None:
-            frontier = self._initial_frontier()
-            next_seq = (frontier.agg(F.max("discovery_seq")).collect()[0][0] or -1) + 1
+        fresh_start = latest is None
+        if fresh_start:
+            from pyspark.sql import Observation
+
+            # ONE job bootstraps everything: the step-0 write materializes
+            # the seed frontier, and the Observation riding it yields both
+            # next_seq (max discovery_seq) and the initial pending-work
+            # count — no dedicated agg/count jobs before the loop.
+            obs0 = Observation("step0")
+            frontier = self._initial_frontier().observe(
+                obs0,
+                F.max("discovery_seq").alias("max_seq"),
+                F.sum(F.when(_work_pred, 1).otherwise(0)).alias("n_pending"),
+            )
             step = 0
             metrics_rows, lineage_paths, text_paths = [], [], []
+            boot: dict = {}
+
+            def _meta0() -> dict:
+                vals = obs0.get
+                boot["next_seq"] = (
+                    vals["max_seq"] if vals["max_seq"] is not None else -1
+                ) + 1
+                boot["n_pending"] = vals["n_pending"] or 0
+                return {"next_seq": boot["next_seq"], "done": False}
+
             # step 0 commits the full base frontier; every later step
             # commits only deltas (updates + new_rows + lineage)
             self.store.write_step(
                 0,
                 {"frontier": frontier.coalesce(1)},  # seed list — tiny
-                {"next_seq": next_seq, "done": False},
+                _meta0,
             )
+            next_seq = boot["next_seq"]
             frontier = self.store.read_table(spark, 0, "frontier")
         else:
             step = latest
             manifest = self.store.read_manifest(step)
+            from .store import SNAPSHOT_FORMAT
+
+            got = manifest.get("format", 1)
+            if got != SNAPSHOT_FORMAT:
+                raise ValueError(
+                    f"checkpoint at {self.store.root} uses snapshot format "
+                    f"{got}, this engine reads format {SNAPSHOT_FORMAT}; "
+                    "delete the checkpoint dir (or rerun with the matching "
+                    "engine version) to proceed"
+                )
             frontier, metrics_rows, lineage_paths, text_paths = self._rebuild(step)
             next_seq = manifest["meta"]["next_seq"]
             if manifest["meta"].get("done"):
@@ -314,7 +364,7 @@ class CrawlEngine:
         import sys
 
         t_init = time.monotonic()
-        bloom = self._build_bloom(frontier)
+        bloom = self._build_bloom(frontier, known_empty=fresh_start)
         if cfg.profile:
             print(f"[profile] bloom_build={time.monotonic()-t_init:.1f}s",
                   file=sys.stderr)
@@ -330,13 +380,14 @@ class CrawlEngine:
 
             return state, mark
 
-        _work_pred = (F.col("url_state") == "pending") & (
-            F.col("is_root") | ~F.col("is_target")
+        # fresh start: the pending-work count already rode the step-0 write
+        # Observation; resume pays one explicit count. Every later iteration
+        # reads the count off the frontier-advance Observation instead of
+        # running a dedicated scan job.
+        n_pending = (
+            boot["n_pending"] if fresh_start
+            else frontier.filter(_work_pred).count()
         )
-        # one explicit count at (re)start; every later iteration reads the
-        # pending-work count off the frontier-advance Observation instead
-        # of running a dedicated scan job
-        n_pending = frontier.filter(_work_pred).count()
 
         while steps_run < max_steps:
             t0 = time.monotonic()
@@ -460,7 +511,9 @@ class CrawlEngine:
             if bloom is not None:
                 self._flush_bloom_pending(spark, bloom)
                 batch = bloom.with_maybe_flag(batch)
+            _mark("plan_build")
             batch = batch.localCheckpoint(eager=True)
+            _mark("parse_barrier")
             if bloom is not None:
                 new = batch.filter(~F.col("_maybe")).drop("_maybe").unionByName(
                     anti_join_seen(
@@ -596,6 +649,7 @@ class CrawlEngine:
                 },
                 _commit_meta,
             )
+            _mark("state_write")
             n_new = commit["n_new"]
             next_seq += n_new
             metrics_rows.append(commit["metrics_row"])
@@ -607,7 +661,12 @@ class CrawlEngine:
             # next iteration's pending-work count rides this job.
             obs_adv = Observation(f"advance_{step}")
             frontier = (
-                self._apply_updates(frontier, updates)
+                self._apply_updates(
+                    frontier, updates,
+                    hint_broadcast=(
+                        n_pending <= cfg.broadcast_admitted_threshold
+                    ),
+                )
                 .unionByName(new_rows)
                 .observe(
                     obs_adv,
@@ -623,12 +682,20 @@ class CrawlEngine:
                 self._start_bloom_merge(spark, bloom, tables["new_rows"])
             for df in (tagged, parsed, new_rows):
                 df.unpersist()
-            _mark("snapshot_write")
+            _mark("advance")
             if cfg.profile:
                 phases = " ".join(
                     f"{k}={v:.1f}s" for k, v in _pstate["acc"].items()
                 )
                 print(f"[profile] step {step}: {phases}", file=sys.stderr)
+
+        # join any background bloom merge started on the final iteration so
+        # its Spark jobs are not still running during spark.stop(); merge
+        # errors are swallowed on this terminal path — the bloom is rebuilt
+        # from the committed frontier on the next run(), so no state is lost
+        for t, _state in self._bloom_pending:
+            t.join()
+        self._bloom_pending = []
 
         return self._result(frontier, metrics_rows, lineage_paths, text_paths,
                             steps_run, latest)

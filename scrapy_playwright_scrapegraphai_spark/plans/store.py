@@ -23,6 +23,12 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Manifest format version. 2 = delta snapshots (step-0 base frontier +
+# per-step updates/new_rows/lineage/page_text tables). Bumped whenever the
+# on-disk layout changes so resume fails with a clear message instead of a
+# KeyError deep in the rebuild fold.
+SNAPSHOT_FORMAT = 2
+
 
 class SnapshotStore:
     def __init__(self, root: str):
@@ -70,7 +76,10 @@ class SnapshotStore:
                 written[name] = path
         if callable(meta):
             meta = meta()
-        manifest = {"step": step, "tables": written, "meta": meta}
+        manifest = {
+            "format": SNAPSHOT_FORMAT, "step": step, "tables": written,
+            "meta": meta,
+        }
         tmp = self._manifest_path(step) + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)

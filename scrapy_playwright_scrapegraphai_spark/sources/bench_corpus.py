@@ -51,9 +51,20 @@ def generate_bench_corpus(
         for h in range(n_hosts)
     }
     total = sum(host_pages.values())
-    if os.path.exists(path):
+    # warm-up corpus: the hub (page 0) + 3 more pages per host, with html
+    # BYTE-IDENTICAL to the main corpus rows. A micro-crawl over it in the
+    # same JVM compiles every superstep plan shape (wholestage codegen,
+    # window/join exec classes, Python worker pool) with the SAME embedded
+    # literals as the timed crawl — step 1 parses the identical hub pages,
+    # so next_seq/step literals match and the compiled classes are reused.
+    warm_path = warm_corpus_path(path)
+    warm_total = n_hosts * 4
+    if os.path.exists(path) and os.path.exists(warm_path):
         try:
-            if pq.read_metadata(path).num_rows == total:
+            if (
+                pq.read_metadata(path).num_rows == total
+                and pq.read_metadata(warm_path).num_rows == warm_total
+            ):
                 return {"rows": total, "path": path, "regenerated": False}
         except Exception:
             pass
@@ -67,7 +78,9 @@ def generate_bench_corpus(
     # skips whole data pages — a point fetch decodes ~none of the html of
     # non-matching rows instead of the full corpus
     writer = pq.ParquetWriter(path, schema, write_page_index=True)
+    warm_writer = pq.ParquetWriter(warm_path, schema, write_page_index=True)
     buf = {k: [] for k in ("url", "warc_ts", "html", "text", "lang")}
+    warm_buf = {k: [] for k in ("url", "warc_ts", "html", "text", "lang")}
     ts = 0
 
     def flush():
@@ -107,12 +120,26 @@ def generate_bench_corpus(
             buf["html"].append(html)
             buf["text"].append(words)  # bench corpus: text not parity-checked
             buf["lang"].append("en")
+            if j < 4:
+                for k in warm_buf:
+                    warm_buf[k].append(buf[k][-1])
             ts += 1
             if len(buf["url"]) >= chunk_rows:
                 flush()
     flush()
     writer.close()
+    warm_writer.write_table(pa.table(warm_buf, schema=schema))
+    warm_writer.close()
     return {"rows": total, "path": path, "regenerated": True}
+
+
+def warm_corpus_path(path: str) -> str:
+    """Path of the warm-up micro-corpus generated alongside ``path``."""
+    return (
+        path[: -len(".parquet")] + "_warm.parquet"
+        if path.endswith(".parquet")
+        else path + "_warm"
+    )
 
 
 def bench_seeds_and_robots(n_hosts: int = 64):

@@ -193,6 +193,52 @@ def test_knn_ivf_recall_and_determinism(emb):
     assert {r["query_id"] for r in a1} == {r["query_id"] for r in exact}
 
 
+def test_lsh_gated_cosine_subset_and_recall(spark, emb):
+    """The default embedding-dedup op returns a SUBSET of the exact O(n²)
+    verifier, with measurable recall; an appended exact-copy vector (LSH
+    buckets identical by construction) is always found."""
+    # plant 20 near-duplicates (tiny deterministic perturbation → cosine
+    # ≈ 0.999) — the regime the gate is designed for
+    rng = np.random.default_rng(7)
+    planted = []
+    for i, r in enumerate(emb.filter(F.col("vec_id") < 20).collect()):
+        v = np.array(r["embedding"], dtype=np.float64)
+        noise = rng.normal(0.0, 0.01 * (np.abs(v).mean() + 1e-9), v.shape)
+        planted.append(
+            (100000 + i, [float(x) for x in v + noise], r["label"])
+        )
+    extra = spark.createDataFrame(
+        planted, "vec_id long, embedding array<float>, label int"
+    )
+    corpus = emb.unionByName(extra)
+    exact = {
+        (r["id_a"], r["id_b"], r["dot"])
+        for r in S.cosine_dup_pairs_exact_smallscale(corpus, 9, 10).collect()
+    }
+    planes_tables = [S.portable_planes(8, 64, seed=42 + 1000 * t) for t in range(2)]
+    gated = {
+        (r["id_a"], r["id_b"], r["dot"])
+        for r in S.lsh_gated_cosine_dup_pairs(
+            corpus, 9, 10, planes_tables=planes_tables
+        ).collect()
+    }
+    assert gated <= exact  # never a false positive — exact verify stage
+    planted_pairs = {(i, 100000 + i) for i in range(20)}
+    exact_keys = {(a, b) for a, b, _ in exact}
+    gated_keys = {(a, b) for a, b, _ in gated}
+    assert planted_pairs <= exact_keys  # sanity: the dups really are dups
+    recall = len(gated_keys & planted_pairs) / len(planted_pairs)
+    assert recall >= 0.5, f"gated recall on planted near-dups {recall}"
+    # xxhash64 (non-portable) plane path: same subset guarantee
+    gated_native = {
+        (r["id_a"], r["id_b"], r["dot"])
+        for r in S.lsh_gated_cosine_dup_pairs(
+            corpus, 9, 10, num_planes=8, num_tables=2
+        ).collect()
+    }
+    assert gated_native <= exact
+
+
 def test_ivf_assignment_partitions_corpus(emb):
     cent, assign = S.ivf_cells(emb, num_cells=8)
     n = emb.count()
