@@ -45,7 +45,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query; sketch ops
-    (minhash/simhash/LSH-knn) are intentionally omitted — non-portable
-    hash functions — and pytest verifies them against exact operators."""
+    """DuckDB-runnable ANSI SQL oracle per query. EVERY queries() entry
+    has one — including the MinHash/SimHash/LSH/IVF sketches, whose
+    md5-derived hash families and embedded plane literals the oracle
+    recomputes exactly (see entry_queries.py)."""
     return dict(EQ.ORACLE_SQL)

@@ -32,7 +32,10 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "48"))
-PAGES_PER_HOST = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "1024"))
+# 2048 pages/host (~113k pages, ~700 MB html) keeps the parallel parse
+# section dominant over per-superstep fixed costs in the scaling
+# measurement — the representative regime for the 10^10-URL design point
+PAGES_PER_HOST = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "2048"))
 LINKS_PER_PAGE = int(os.environ.get("SPARK_GRAFT_BENCH_LINKS", "240"))
 WORDS_PER_PAGE = int(os.environ.get("SPARK_GRAFT_BENCH_WORDS", "1200"))
 # tmpfs (RAM-backed) for corpus, checkpoints, and shuffle spill: the
@@ -117,6 +120,16 @@ def make_spark(cores: int, app: str):
 
 def crawl_run(cores: int) -> dict:
     import tempfile
+
+    # pin THIS process (and everything it spawns: the local-mode JVM, the
+    # Python UDF workers) to exactly `cores` CPUs. local[N] alone only
+    # caps task slots — JVM auxiliary threads (parquet decode, shuffle
+    # compression, GC, Netty) would otherwise run on the machine's spare
+    # cores and quietly subsidize the LOW-core run, understating the
+    # measured N→4N scaling. Affinity makes "local[2] vs local[8]" an
+    # honest 2-CPU vs 8-CPU machine comparison — the sandbox stand-in for
+    # two cluster sizes.
+    os.sched_setaffinity(0, set(range(cores)))
 
     from pyspark.sql import functions as F
 
@@ -230,7 +243,12 @@ def _hw_control(cores_pairs: tuple[int, int], n_pages: int = 4000) -> dict:
     import multiprocessing as mp
 
     out = {}
+    full_affinity = os.sched_getaffinity(0)
     for k in cores_pairs:
+        # pin to k CPUs (inherited by the forked pool workers) — the same
+        # affinity discipline as the Spark runs, so control and subject
+        # see identical hardware at each simulated cluster size
+        os.sched_setaffinity(0, set(range(k)))
         # workers read their own page slice from parquet (Pool.map would
         # otherwise pickle ~100 MB of html SERIALLY in the parent,
         # penalizing the high-core measurement); warm-up pass first so
@@ -244,6 +262,7 @@ def _hw_control(cores_pairs: tuple[int, int], n_pages: int = 4000) -> dict:
             )
             dt = time.monotonic() - t0
         out[k] = n_pages / dt
+    os.sched_setaffinity(0, full_affinity)
     lo, hi = cores_pairs
     out["speedup"] = out[hi] / out[lo]
     out["efficiency"] = out["speedup"] / (hi / lo)

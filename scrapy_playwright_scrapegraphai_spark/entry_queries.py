@@ -40,7 +40,10 @@ def ensure_worker_imports(spark: SparkSession) -> None:
     SparkContext.
     """
     sc = spark.sparkContext
-    key = id(sc)
+    # keyed on applicationId, not id(sc): a stopped context's id() can be
+    # reused by a new context in the same process, which would silently
+    # skip the addPyFile and break worker-side imports
+    key = sc.applicationId
     if key in _PYFILES_ADDED:
         return
     import os
@@ -418,6 +421,140 @@ SELECT event_id,
        CAST(floor(epoch(ts)) -
             (SELECT floor(min(epoch(ts))) FROM events) AS BIGINT) AS elapsed_s
 FROM events
+"""
+
+
+def q_config_url_log(spark, sf):
+    """S5 (schema.sql:39-80): the per-root-seed run-audit table with the
+    reference's 5-state machine, timing, counters, and JSON metadata —
+    exercised through the REAL operator (operators/stats.py:config_url_log)
+    over a deterministic frontier/lineage built from the events table:
+    each user is a root seed, each event a discovered descendant."""
+    from .operators import stats as ST
+
+    ev = _t(spark, sf, "events")
+    cat = F.concat(F.lit("cat"), (F.col("user_id") % 5).cast("string"))
+    desc_state = (
+        F.when(F.col("event_type") == "error", "failed")
+        .when(
+            (F.col("event_type") == "view") & (F.col("event_id") % 29 == 0),
+            "pending",
+        )
+        .otherwise("processed")
+    )
+    roots = ev.select("user_id").distinct().select(
+        F.col("user_id").cast("int").alias("root_seed_id"),
+        F.concat(F.lit("https://u"), F.col("user_id").cast("string"),
+                 F.lit(".test/")).alias("url"),
+        cat.alias("category"),
+        (F.col("user_id") % 3).cast("int").alias("url_type"),
+        F.lit(1).alias("max_depth"),
+        F.array(F.lit("x")).alias("target_patterns"),
+        F.lit("/p/").alias("seed_pattern"),
+        F.when(F.col("user_id") % 7 == 0, "pending")
+        .when(F.col("user_id") % 7 == 1, "failed")
+        .otherwise("processed")
+        .alias("url_state"),
+        F.lit(None).cast("string").alias("error_message"),
+        F.lit(False).alias("is_target"),
+        F.lit(0).alias("depth"),
+        F.lit(0).alias("superstep"),
+        F.lit(True).alias("is_root"),
+    )
+    desc = ev.select(
+        F.col("user_id").cast("int").alias("root_seed_id"),
+        F.concat(F.lit("https://u"), F.col("user_id").cast("string"),
+                 F.lit(".test/e/"), F.col("event_id").cast("string")).alias("url"),
+        cat.alias("category"),
+        (F.col("user_id") % 3).cast("int").alias("url_type"),
+        F.lit(1).alias("max_depth"),
+        F.array(F.lit("x")).alias("target_patterns"),
+        F.lit("/p/").alias("seed_pattern"),
+        desc_state.alias("url_state"),
+        F.lit(None).cast("string").alias("error_message"),
+        (F.col("event_type") == "click").alias("is_target"),
+        (1 + (F.col("event_id") % 2)).cast("int").alias("depth"),
+        (1 + (F.col("event_id") % 3)).cast("int").alias("superstep"),
+        F.lit(False).alias("is_root"),
+    )
+    lineage = (
+        ev.groupBy(
+            F.col("user_id").cast("int").alias("root_seed_id"),
+            (1 + (F.col("event_id") % 3)).cast("int").alias("superstep"),
+        )
+        .agg(
+            F.lit(0).alias("partition_id"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+                "target_urls_found"
+            ),
+            F.sum(F.when(F.col("event_type") != "click", 1).otherwise(0)).alias(
+                "seed_urls_found"
+            ),
+            F.count("*").alias("total_urls_found"),
+        )
+    )
+    out = ST.config_url_log(roots.unionByName(desc), lineage)
+    return out.select(
+        F.col("root_seed_id").cast("long").alias("root_seed_id"),
+        "url", "category",
+        F.col("url_type").cast("long").alias("url_type"),
+        "config_state",
+        F.col("start_superstep").cast("long").alias("start_superstep"),
+        F.col("end_superstep").cast("long").alias("end_superstep"),
+        "processing_duration",
+        "total_urls_found", "target_urls_found", "seed_urls_found",
+        F.col("failed_urls").cast("long").alias("failed_urls"),
+        F.col("max_depth").cast("long").alias("max_depth"),
+        F.col("reached_depth").cast("long").alias("reached_depth"),
+        "error_message", "metadata",
+    )
+
+
+SQL_CONFIG_URL_LOG = """
+WITH d AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'error' THEN 'failed'
+              WHEN event_type = 'view' AND event_id % 29 = 0 THEN 'pending'
+              ELSE 'processed' END AS url_state,
+         (event_type = 'click') AS is_target,
+         1 + (event_id % 2) AS depth,
+         1 + (event_id % 3) AS superstep,
+         event_type
+  FROM events
+), agg AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN url_state = 'pending' AND NOT is_target
+                       THEN 1 ELSE 0 END) AS BIGINT) AS pending_work,
+         CAST(SUM(CASE WHEN url_state = 'failed' THEN 1 ELSE 0 END)
+              AS BIGINT) AS failed_urls,
+         CAST(MAX(depth) AS BIGINT) AS reached_depth,
+         CAST(MAX(superstep) AS BIGINT) AS last_disc,
+         CAST(MIN(superstep) AS BIGINT) AS start_superstep,
+         CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT)
+           AS target_urls_found,
+         CAST(SUM(CASE WHEN NOT is_target THEN 1 ELSE 0 END) AS BIGINT)
+           AS seed_urls_found,
+         CAST(COUNT(*) AS BIGINT) AS total_urls_found
+  FROM d GROUP BY user_id
+)
+SELECT CAST(user_id AS BIGINT) AS root_seed_id,
+       'https://u' || user_id || '.test/' AS url,
+       'cat' || (user_id % 5) AS category,
+       CAST(user_id % 3 AS BIGINT) AS url_type,
+       CASE WHEN user_id % 7 = 0 THEN 'pending'
+            WHEN user_id % 7 = 1 THEN 'failed'
+            WHEN pending_work > 0 THEN 'running'
+            WHEN failed_urls > 0 THEN 'partially_completed'
+            ELSE 'completed' END AS config_state,
+       start_superstep,
+       last_disc AS end_superstep,
+       CAST(last_disc - start_superstep AS DOUBLE) AS processing_duration,
+       total_urls_found, target_urls_found, seed_urls_found, failed_urls,
+       CAST(1 AS BIGINT) AS max_depth,
+       reached_depth,
+       CAST(NULL AS VARCHAR) AS error_message,
+       '{"pending_urls":' || pending_work || '}' AS metadata
+FROM agg
 """
 
 
@@ -1299,6 +1436,7 @@ QUERIES = {
     "frontier_stats": q_frontier_stats,
     "global_processing_stats": q_global_processing_stats,
     "counter_rollup": q_counter_rollup,
+    "config_url_log": q_config_url_log,
     "pattern_substring_filter": q_pattern_substring_filter,
     "pattern_regex_filter": q_pattern_regex_filter,
     "pattern_dual_filter": q_pattern_dual_filter,
@@ -1346,6 +1484,7 @@ ORACLE_SQL = {
     "frontier_stats": SQL_FRONTIER_STATS,
     "global_processing_stats": SQL_GLOBAL_PROCESSING_STATS,
     "counter_rollup": SQL_COUNTER_ROLLUP,
+    "config_url_log": SQL_CONFIG_URL_LOG,
     "pattern_substring_filter": SQL_PATTERN_SUBSTRING_FILTER,
     "pattern_regex_filter": SQL_PATTERN_REGEX_FILTER,
     "pattern_dual_filter": SQL_PATTERN_DUAL_FILTER,

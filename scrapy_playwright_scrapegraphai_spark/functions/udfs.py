@@ -236,6 +236,11 @@ PARSED_SCHEMA = StructType(
         StructField("seed_pattern", StringType()),
         StructField("root_seed_id", IntegerType()),
         StructField("found_count", IntegerType()),
+        # per-page classified-item counts, computed inside the parse pass
+        # so lineage aggregation reads 1 row/page instead of re-exploding
+        # every child link (A1 semantics: crawl_manager_utils.py:33,42-48)
+        StructField("n_targets", IntegerType()),
+        StructField("n_seeds", IntegerType()),
         StructField("text", StringType()),
         StructField(
             "items",
@@ -294,6 +299,9 @@ def parse_pages(fetched: DataFrame) -> DataFrame:
                 cols["seed_pattern"].append(r.seed_pattern)
                 cols["root_seed_id"].append(int(r.root_seed_id))
                 cols["found_count"].append(len(found))
+                nt = sum(1 for i in items if i.is_target)
+                cols["n_targets"].append(nt)
+                cols["n_seeds"].append(len(items) - nt)
                 cols["text"].append(text)
                 cols["items"].append(
                     [(i.url, i.depth, i.is_target, i.item_seq) for i in items]

@@ -66,15 +66,33 @@ def first_writer_dedup(
     J2 analogue: within one superstep batch, the sequentially-first
     discovery wins (the reference's ON CONFLICT DO NOTHING under
     single-threaded item flow). Never ``dropDuplicates`` (nondeterministic
-    winner) — explicit ``row_number`` per SURVEY.md §4.2.
+    winner) — the winner is the exact minimum of the (unique) order-key
+    tuple per SURVEY.md §4.2.
+
+    Plan: hash-aggregate with ``min_by(struct(row), struct(order))`` —
+    NOT a row_number window. The aggregate gets map-side partial
+    combine, so a superstep batch of 10^7+ exploded child links (heavy
+    within-partition URL repetition: a host's pages link to the same
+    sibling URLs) collapses to ~distinct-urls-per-partition rows BEFORE
+    the exchange; the window form would shuffle and sort every child row.
+    Caller contract: the order-key tuple must be unique per key (ours:
+    (parent_seq, item_seq) is globally unique), making the winner
+    deterministic.
     """
     key_cols = key_cols or ["url"]
-    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_cols])
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    payload_cols = [c for c in df.columns if c not in key_cols]
+    won = (
+        df.groupBy(*key_cols)
+        .agg(
+            F.min_by(
+                F.struct(*[F.col(c) for c in payload_cols]),
+                F.struct(*[F.col(c) for c in order_cols]),
+            ).alias("_w")
+        )
+        .select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload_cols])
     )
+    # restore the caller's column order
+    return won.select(*df.columns)
 
 
 def anti_join_seen(

@@ -44,20 +44,24 @@ _REGEX_META = set(".^$*+?{}[]()|\\")
 
 
 def rules_are_regex_free(robots: DataFrame) -> bool:
-    """True iff every allow/deny pattern is free of regex metacharacters.
+    """True iff every allow/deny pattern is ASCII and free of regex
+    metacharacters.
 
     For such patterns the reference's dual predicate (case-insensitive
     substring OR case-insensitive regex search, url_utils.py:14-24)
     degenerates to plain substring containment, which the JVM evaluates
-    natively — no Python stage in the politeness path. The robots dim
-    table is broadcast-small by design, so this one collect at engine
-    init is the standard small-dim inspection.
+    natively — no Python stage in the politeness path. Non-ASCII
+    patterns are excluded because JVM ``lower()`` and Python
+    ``str.lower()`` disagree on some case foldings (e.g. 'İ', 'ẞ'), and
+    the native verdict must be byte-identical to the parity UDF. The
+    robots dim table is broadcast-small by design, so this one collect
+    at engine init is the standard small-dim inspection.
     """
     rows = robots.select("allow_patterns", "deny_patterns").collect()
     for r in rows:
         for pats in (r["allow_patterns"], r["deny_patterns"]):
             for p in pats or []:
-                if any(ch in _REGEX_META for ch in p):
+                if not p.isascii() or any(ch in _REGEX_META for ch in p):
                     return False
     return True
 

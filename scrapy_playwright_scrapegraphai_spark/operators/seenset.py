@@ -150,6 +150,67 @@ class BloomShards:
         )
         return with_flag.mapInPandas(_probe, schema).drop("_u", "_s")
 
+    def total_bytes(self) -> int:
+        return sum(bm.nbytes for bm in self.bitmaps)
+
+    def with_maybe_flag_shard_local(
+        self, df: DataFrame, url_col: str = "url"
+    ) -> DataFrame:
+        """Partition-local probe — the 10^10-URL design point.
+
+        Broadcast arithmetic: a bloom at 1% fpp costs ~1.2 bytes/URL, so
+        10^10 URLs ≈ 12 GB of bitmaps — far beyond what can ship to every
+        executor each superstep (``with_maybe_flag`` broadcasts the whole
+        set and is right only while the set is tens of MB). Here the
+        candidates shuffle on pmod(xxhash64(url), P) — the SAME key the
+        bitmaps are sharded by — and COGROUP with the shard-blob table,
+        so each task loads exactly ONE shard's bitmap (12 GB / P; a few
+        MB at P=4096). Under Iceberg the blob side is the persisted
+        seen-shard table, so the probe reads only current shard files.
+        Output and exactness contract are identical to
+        ``with_maybe_flag`` (asserted in tests); the driver picks the
+        probe by ``total_bytes()`` against its broadcast budget.
+        """
+        spark = df.sparkSession
+        blobs = spark.createDataFrame(self.serialize(), "shard int, blob binary")
+        bits, k = self.bits, self.k
+        num_shards = self.num_shards
+        cand = (
+            df.withColumn("_u", F.col(url_col))
+            .withColumn("_s", F.pmod(F.xxhash64(F.col(url_col)), F.lit(num_shards)))
+        )
+        from pyspark.sql.types import BooleanType, StructField, StructType
+
+        schema = StructType(
+            list(cand.schema.fields) + [StructField("_maybe", BooleanType())]
+        )
+
+        def _probe(cands: pd.DataFrame, blob_pdf: pd.DataFrame) -> pd.DataFrame:
+            if cands.empty:
+                return cands.assign(_maybe=pd.Series(dtype=bool))
+            bm = (
+                np.frombuffer(blob_pdf["blob"].iloc[0], dtype=np.uint8)
+                if len(blob_pdf)
+                else None
+            )
+            if bm is None:  # shard never built → nothing seen in it
+                return cands.assign(_maybe=False)
+            out = [
+                all(
+                    bm[p >> 3] & (1 << (p & 7))
+                    for p in _bit_positions(url, bits, k)
+                )
+                for url in cands["_u"]
+            ]
+            return cands.assign(_maybe=out)
+
+        probed = (
+            cand.groupby("_s")
+            .cogroup(blobs.groupby("shard"))
+            .applyInPandas(_probe, schema)
+        )
+        return probed.drop("_u", "_s")
+
     def prefilter_maybe_seen(self, df: DataFrame, url_col: str = "url"):
         """Split df into (maybe_seen, definitely_new) via broadcast probe.
 

@@ -87,6 +87,11 @@ class CrawlConfig:
     # pending-batch size up to which the admitted side is broadcast into
     # the fetch join; beyond it AQE chooses the join strategy from stats
     broadcast_admitted_threshold: int = 2_000_000
+    # bloom bitmap bytes up to which the whole sharded set broadcasts to
+    # every executor; beyond it the probe goes partition-local (cogroup
+    # candidate shard ↔ shard blob — at the 10^10 design point the
+    # bitmaps total ~12 GB and must never broadcast)
+    bloom_broadcast_max_bytes: int = 64 << 20
     profile: bool = False            # print per-phase wall times to stderr
 
 
@@ -510,7 +515,10 @@ class CrawlEngine:
             seen = frontier.filter(~F.col("is_root"))
             if bloom is not None:
                 self._flush_bloom_pending(spark, bloom)
-                batch = bloom.with_maybe_flag(batch)
+                if bloom.total_bytes() <= cfg.bloom_broadcast_max_bytes:
+                    batch = bloom.with_maybe_flag(batch)
+                else:
+                    batch = bloom.with_maybe_flag_shard_local(batch)
             _mark("plan_build")
             batch = batch.localCheckpoint(eager=True)
             _mark("parse_barrier")
@@ -582,17 +590,21 @@ class CrawlEngine:
                     )
                 )
             )
-            # S6/A4: per-partition lineage + per-superstep metrics
+            # S6/A4: per-partition lineage + per-superstep metrics. The
+            # per-page item counts were computed INSIDE the fused parse
+            # pass (udfs.py n_targets/n_seeds), so this aggregates one
+            # cached row per page — it never re-explodes the (100×
+            # larger) child-link rows a second time.
             step_lineage = (
-                children.groupBy("partition_id", "root_seed_id", "category")
+                parsed.withColumn("partition_id", F.spark_partition_id())
+                .filter((F.col("n_targets") + F.col("n_seeds")) > 0)
+                .groupBy("partition_id", "root_seed_id", "category")
                 .agg(
-                    F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias(
-                        "target_urls_found"
-                    ),
-                    F.sum(F.when(~F.col("is_target"), 1).otherwise(0)).alias(
-                        "seed_urls_found"
-                    ),
-                    F.count("*").alias("total_urls_found"),
+                    F.sum("n_targets").cast("long").alias("target_urls_found"),
+                    F.sum("n_seeds").cast("long").alias("seed_urls_found"),
+                    F.sum(F.col("n_targets") + F.col("n_seeds"))
+                    .cast("long")
+                    .alias("total_urls_found"),
                 )
                 .withColumn("superstep", F.lit(step))
                 .select(
@@ -639,6 +651,45 @@ class CrawlEngine:
                     "metrics": row,
                 }
 
+            # advance the in-memory frontier CONCURRENTLY with the
+            # snapshot writes — it depends only on the updates plan and
+            # the new_rows cache (both deterministic: batch is
+            # materialized), not on the written files; Spark schedules
+            # jobs from both driver threads and the cache layer
+            # serializes any shared partition computes. localCheckpoint
+            # truncates the growing plan without a full-table parquet
+            # round-trip; the next iteration's pending-work count rides
+            # this job as an Observation.
+            import threading
+
+            adv: dict = {}
+
+            def _advance():
+                try:
+                    obs_adv = Observation(f"advance_{step}")
+                    fr = (
+                        self._apply_updates(
+                            frontier, updates,
+                            hint_broadcast=(
+                                n_pending <= cfg.broadcast_admitted_threshold
+                            ),
+                        )
+                        .unionByName(new_rows)
+                        .observe(
+                            obs_adv,
+                            F.sum(F.when(_work_pred, 1).otherwise(0)).alias(
+                                "n_pending"
+                            ),
+                        )
+                        .localCheckpoint(eager=True)
+                    )
+                    adv["frontier"] = fr
+                    adv["n_pending"] = obs_adv.get["n_pending"] or 0
+                except BaseException as e:  # noqa: BLE001 — re-raised below
+                    adv["err"] = e
+
+            adv_t = threading.Thread(target=_advance, daemon=True)
+            adv_t.start()
             self.store.write_step(
                 step,
                 {
@@ -656,25 +707,11 @@ class CrawlEngine:
             tables = self.store.read_manifest(step)["tables"]
             lineage_paths.append(tables["lineage"])
             text_paths.append(tables["page_text"])
-            # advance the in-memory frontier; localCheckpoint truncates the
-            # growing plan without a full-table parquet round-trip. The
-            # next iteration's pending-work count rides this job.
-            obs_adv = Observation(f"advance_{step}")
-            frontier = (
-                self._apply_updates(
-                    frontier, updates,
-                    hint_broadcast=(
-                        n_pending <= cfg.broadcast_admitted_threshold
-                    ),
-                )
-                .unionByName(new_rows)
-                .observe(
-                    obs_adv,
-                    F.sum(F.when(_work_pred, 1).otherwise(0)).alias("n_pending"),
-                )
-                .localCheckpoint(eager=True)
-            )
-            n_pending = obs_adv.get["n_pending"] or 0
+            adv_t.join()
+            if "err" in adv:
+                raise adv["err"]
+            frontier = adv["frontier"]
+            n_pending = adv["n_pending"]
             # bloom deltas for this step's new rows merge in the
             # background from the just-committed new_rows parquet;
             # _flush_bloom_pending joins before the next probe

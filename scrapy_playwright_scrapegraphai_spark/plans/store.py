@@ -96,6 +96,35 @@ class SnapshotStore:
             json.dump(manifest, fh)
         os.replace(tmp, self._manifest_path(step))
 
+    def reset(self, spark: SparkSession | None = None) -> dict[str, int]:
+        """S7 — truncate all crawl state (clean_db.py:22-51 analogue).
+
+        The reference's reset tool DELETEs frontier_url + config_url_log
+        and reports before/after row counts; here the unit of state is
+        the snapshot directory. Returns the before counts (frontier rows
+        of the latest resumable step when a SparkSession is supplied,
+        else just the step count), then removes every step directory and
+        manifest — after which ``latest_step()`` is None and a new run()
+        bootstraps from scratch.
+        """
+        latest = self.latest_step()
+        counts = {"steps_before": 0 if latest is None else latest + 1,
+                  "frontier_rows_before": 0}
+        if latest is not None and spark is not None:
+            base = self.read_table(spark, 0, "frontier").count()
+            new = 0
+            for k in range(1, latest + 1):
+                if self.has_table(k, "new_rows"):
+                    new += self.read_table(spark, k, "new_rows").count()
+            counts["frontier_rows_before"] = base + new
+        for name in os.listdir(self.root):
+            path = os.path.join(self.root, name)
+            if name.startswith("step=") and os.path.isdir(path):
+                shutil.rmtree(path)
+            elif name.startswith("manifest_") and name.endswith(".json"):
+                os.remove(path)
+        return counts
+
     def latest_step(self) -> int | None:
         steps = []
         for name in os.listdir(self.root):

@@ -1,0 +1,145 @@
+"""S1: YAML crawl-config ingestion → validated seeds DataFrame.
+
+Replicates the reference's configuration entry point:
+- YAML shape: ``categories: [{name, description, urls: [{url_seed_root_id,
+  url, type, target_patterns, seed_pattern, max_depth}]}]``
+  (/root/reference/config/crawler_config.yaml:1-45)
+- loader semantics: ``yaml.safe_load`` of the config file, raising on a
+  missing path (/root/reference/src/crawler/utils/config_utils.py:8-26)
+- cross-field seed validation mirroring the reference's pydantic model
+  (/root/reference/src/crawler/models/frontier_model.py:60-95):
+  * type 0 (DIRECT_TARGET): max_depth must be 0, target_patterns required
+  * type 1 (SINGLE_PAGE):   max_depth must be 0
+  * type 2 (SEED_TARGET):   max_depth must be 1, seed_pattern required
+  * type 3 (COMPLEX_AI):    max_depth must be 2, seed_pattern required
+  * type 4 (FULL_AI):       max_depth must be >= 2
+  plus url validity (scheme http/https + netloc — HttpUrl semantics,
+  frontier_model.py:34) and category length 1..255 (frontier_model.py:35).
+
+The reference validates row-at-a-time inside the item pipeline and
+aborts on the first bad row; config ingestion happens once per run on
+the driver, so this loader validates ALL rows up front and reports every
+violation in one error — malformed seed rows never reach the engine
+(VERDICT round-1 gap #3).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .synth import SEEDS_DDL
+
+# url_type enum (frontier_model.py:23-29). Types 3/4 are declared by the
+# reference but its spider handles only 0-2 (frontier_spider.py:64-93);
+# we validate all five, and the engine treats 3/4 like 2 (classification
+# + depth gate) since the AI-assist stages don't exist in either system.
+VALID_URL_TYPES = (0, 1, 2, 3, 4)
+
+
+def load_crawler_config(path: str) -> dict:
+    """yaml.safe_load of the crawler config (config_utils.py:8-26)."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"Config file not found at: {path}")
+    import yaml
+
+    with open(path) as fh:
+        return yaml.safe_load(fh)
+
+
+def validate_seed_row(row: dict[str, Any]) -> list[str]:
+    """Pure-kernel cross-field validation of one seed row.
+
+    Returns a list of violation messages (empty = valid); the rules and
+    their wording track frontier_model.py:60-95.
+    """
+    errs: list[str] = []
+    url = row.get("url")
+    parsed = urlparse(url) if isinstance(url, str) else None
+    if (
+        parsed is None
+        or parsed.scheme not in ("http", "https")
+        or not parsed.netloc
+    ):
+        errs.append(f"invalid url: {url!r}")
+    category = row.get("category")
+    if not isinstance(category, str) or not (1 <= len(category) <= 255):
+        errs.append(f"category must be 1..255 chars: {category!r}")
+    t = row.get("url_type")
+    if t not in VALID_URL_TYPES:
+        errs.append(f"url_type must be one of {VALID_URL_TYPES}: {t!r}")
+    md = row.get("max_depth")
+    if not isinstance(md, int) or md < 0:
+        errs.append(f"max_depth must be an int >= 0: {md!r}")
+    else:
+        if t == 0 and md != 0:
+            errs.append("Type 0 (DIRECT_TARGET) must have max_depth = 0")
+        elif t == 1 and md != 0:
+            errs.append("Type 1 (SINGLE_PAGE) must have max_depth = 0")
+        elif t == 2 and md != 1:
+            errs.append("Type 2 (SEED_TARGET) must have max_depth = 1")
+        elif t == 3 and md != 2:
+            errs.append("Type 3 (COMPLEX_AI) must have max_depth = 2")
+        elif t == 4 and md < 2:
+            errs.append("Type 4 (FULL_AI) must have max_depth >= 2")
+    if t == 0 and not row.get("target_patterns"):
+        errs.append("Type 0 (DIRECT_TARGET) must have target patterns")
+    if t in (2, 3) and not row.get("seed_pattern"):
+        errs.append(f"Type {t} must have a seed pattern")
+    return errs
+
+
+def seeds_from_config(config: dict) -> list[dict[str, Any]]:
+    """Flatten categories×urls into validated seed rows (SEEDS_DDL order).
+
+    Row order = config-file order — the reference emits start requests in
+    exactly this order (frontier_spider.py:48-100), and the engine's
+    initial ``discovery_seq`` preserves it.
+    """
+    rows: list[dict[str, Any]] = []
+    problems: list[str] = []
+    for cat in config.get("categories") or []:
+        name = cat.get("name")
+        for u in cat.get("urls") or []:
+            row = {
+                "url_seed_root_id": u.get("url_seed_root_id"),
+                "category": name,
+                "url": u.get("url"),
+                # YAML key is "type" (crawler_config.yaml:7); engine
+                # column is url_type (schema.sql:6)
+                "url_type": u.get("type"),
+                "target_patterns": list(u.get("target_patterns") or []),
+                "seed_pattern": u.get("seed_pattern"),
+                "max_depth": u.get("max_depth"),
+            }
+            for e in validate_seed_row(row):
+                problems.append(f"seed {row['url_seed_root_id']!r} ({name}): {e}")
+            rows.append(row)
+    ids = [r["url_seed_root_id"] for r in rows]
+    if any(not isinstance(i, int) or i < 0 for i in ids):
+        problems.append("every url_seed_root_id must be a non-negative int")
+    elif len(set(ids)) != len(ids):
+        problems.append("url_seed_root_id values must be unique")
+    if problems:
+        raise ValueError(
+            "invalid crawler config:\n  " + "\n  ".join(problems)
+        )
+    return rows
+
+
+def seeds_df_from_yaml(spark: SparkSession, path: str) -> DataFrame:
+    """YAML config file → seeds DataFrame ready for CrawlEngine."""
+    rows = seeds_from_config(load_crawler_config(path))
+    return spark.createDataFrame(
+        [
+            (
+                r["url_seed_root_id"], r["category"], r["url"], r["url_type"],
+                r["target_patterns"], r["seed_pattern"], r["max_depth"],
+            )
+            for r in rows
+        ],
+        SEEDS_DDL,
+    )

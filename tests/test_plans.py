@@ -1,0 +1,164 @@
+"""Physical-plan audits: the queries must not just be correct — they must
+compile to the plans a 100 TB deployment needs (SURVEY.md §4.2).
+
+Each test renders `.explain("formatted")` output and asserts structural
+properties: predicate/column pushdown reaching the parquet scan, broadcast
+vs shuffle join selection, hash-aggregate (map-side combine) instead of
+sort-window where the operator was designed for it, and the absence of
+nested-loop joins outside the one deliberately-quadratic verifier.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scrapy_playwright_scrapegraphai_spark import entry_queries as EQ
+from scrapy_playwright_scrapegraphai_spark.operators import similarity as S
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_scan_projection_pruning(spark):
+    """A 2-column projection must read exactly 2 columns (ReadSchema)."""
+    d = EQ._t(spark, SF, "documents").select("doc_id", "lang")
+    plan = _plan(d)
+    assert "ReadSchema" in plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "doc_id" in read and "lang" in read
+    assert "text" not in read  # the fat column is pruned
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    ev = EQ._t(spark, SF, "events").filter(F.col("event_type") == "click")
+    plan = _plan(ev)
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "event_type" in pushed and "IsNotNull" in pushed or "EqualTo" in pushed
+
+
+def test_fetch_join_broadcasts_small_side(spark):
+    """J3: the politeness-bounded batch must be the broadcast build side —
+    the big pages table streams exactly once."""
+    plan = _plan(EQ.QUERIES["fetch_join"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_exact_dedup_is_single_hash_aggregate(spark):
+    plan = _plan(EQ.QUERIES["dedup_exact"](spark, SF))
+    assert "HashAggregate" in plan
+    # partial+final pair, no sort-based fallback and no window exec
+    assert "Window" not in plan
+
+
+def test_first_writer_dedup_uses_hash_aggregate_not_window(spark):
+    """min_by aggregate gets map-side partial combine — the win that cuts
+    the 10^7-row exploded-children shuffle; a row_number window would
+    shuffle and sort every child row."""
+    from scrapy_playwright_scrapegraphai_spark.operators.frontier import (
+        first_writer_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [(f"u{i % 50}", i, i % 7) for i in range(500)],
+        "url string, seq long, item int",
+    )
+    plan = _plan(first_writer_dedup(df, order_cols=["seq", "item"]))
+    assert "Window" not in plan
+    # struct-valued min_by plans as SortAggregate; the property that
+    # matters is partial_min_by BEFORE the Exchange — the shuffle carries
+    # one combined row per (map partition, url), not every child row
+    assert "partial_min_by" in plan
+    # the `(k) SortAggregate` detail containing partial_min_by must have
+    # a smaller operator id than the `(j) Exchange` (formatted explain
+    # numbers leaves first, so child-before-parent ⇔ smaller id)
+    import re
+
+    ids = {}
+    for m in re.finditer(r"\((\d+)\) (\w+)", plan):
+        k, name = int(m.group(1)), m.group(2)
+        seg_start = m.end()
+        nxt = re.search(r"\(\d+\) \w+", plan[seg_start:])
+        seg = plan[seg_start: seg_start + (nxt.start() if nxt else len(plan))]
+        if name == "SortAggregate" and "partial_min_by" in seg:
+            ids["partial"] = k
+        if name == "Exchange":
+            ids["exchange"] = k
+    assert ids["partial"] < ids["exchange"], (ids, plan)
+
+
+def test_no_nested_loop_outside_designated_verifiers(spark):
+    """Every contract query except the deliberately-quadratic exact
+    verifiers and the k-NN cross-join baselines must avoid
+    BroadcastNestedLoopJoin / CartesianProduct."""
+    allowed_quadratic = {
+        "embedding_dup_pairs",   # cosine_dup_pairs_exact_smallscale
+        "knn_bruteforce",        # exact cross-join baseline by design
+        "knn_ivf",               # tiny 16-row codebook cross join only
+        "duration_epoch",        # 1-row min aggregate cross join (scalar)
+        "table_counts",          # 1-row × 1-row count joins
+    }
+    bad = []
+    for name, fn in EQ.QUERIES.items():
+        if name in allowed_quadratic:
+            continue
+        plan = _plan(fn(spark, SF))
+        if "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan:
+            bad.append(name)
+    assert not bad, f"unexpected nested-loop joins in: {bad}"
+
+
+def test_gated_cosine_avoids_cross_join(spark):
+    """The default embedding-dedup op must plan as bucket equi-joins, in
+    contrast to the exact verifier's nested loop."""
+    e = EQ._t(spark, SF, "embeddings")
+    gated = S.lsh_gated_cosine_dup_pairs(
+        e, 3, 10, planes_tables=[S.portable_planes(8, 64, seed=42)]
+    )
+    plan = _plan(gated)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    exact = S.cosine_dup_pairs_exact_smallscale(e, 3, 10)
+    assert "BroadcastNestedLoopJoin" in _plan(exact)  # the named verifier
+
+
+def test_politeness_small_batch_skips_salted_exchange(spark):
+    """salt_shards=1 must produce ONE window pass (no two-phase union) —
+    the fixed-cost-free plan for small batches; the salted form must
+    partition by (main_domain, salt) in phase 1."""
+    from scrapy_playwright_scrapegraphai_spark.operators import politeness as P
+
+    work = spark.createDataFrame(
+        [(f"https://h{i%3}.t/p{i}", f"h{i%3}.t", i) for i in range(30)],
+        "url string, main_domain string, discovery_seq long",
+    )
+    robots = spark.createDataFrame(
+        [(f"h{i}.t", [], [], 2.0) for i in range(3)],
+        "main_domain string, allow_patterns array<string>, "
+        "deny_patterns array<string>, crawl_delay_s double",
+    )
+    import re
+
+    def windows(plan):
+        return len(re.findall(r"\(\d+\) Window", plan))
+
+    single = _plan(P.admit_tagged(work, robots, 10.0, 1, native_robots=True))
+    assert windows(single) == 1
+    salted = _plan(P.admit_tagged(work, robots, 10.0, 8, native_robots=True))
+    assert windows(salted) >= 2
+    assert "_salt" in salted
+
+
+def test_whole_stage_codegen_covers_scan_filter_agg(spark):
+    df = EQ.QUERIES["lang_distribution"](spark, SF)
+    df.collect()  # AQE finalizes the plan (and codegen stages) on execution
+    simple = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    # '*(n)' prefixes mark whole-stage-codegen spans in simple mode
+    assert "isFinalPlan=true" in simple and "*(" in simple, simple

@@ -94,3 +94,25 @@ def test_all_fetches_fail_superstep_empty_batch(spark, corpus_spark, tmp_path):
     row = r.frontier.collect()[0]
     # RETRY_TIMES=1 semantics: two attempts then failed
     assert row["url_state"] == "failed" and row["attempt"] == 2
+
+
+def test_store_reset_truncates_all_state(spark, corpus_spark, tmp_path):
+    """S7 (clean_db.py:22-51): reset reports before-counts, wipes every
+    step + manifest, and a subsequent run() bootstraps from scratch."""
+    ckpt = str(tmp_path / "reset")
+    eng = _engine(spark, corpus_spark, ckpt)
+    first = eng.run()
+    n_rows = first.frontier.count()
+    store = SnapshotStore(ckpt)
+    counts = store.reset(spark)
+    assert counts["steps_before"] == first.supersteps_run + 1  # + step 0
+    assert counts["frontier_rows_before"] == n_rows
+    assert store.latest_step() is None
+    rerun = _engine(spark, corpus_spark, ckpt).run()
+    assert rerun.supersteps_run == first.supersteps_run
+    assert _key(rerun.frontier) == _key(first.frontier)
+    store.reset(spark)  # wipe the rerun's state
+    # idempotent on empty state
+    assert store.reset(spark) == {
+        "steps_before": 0, "frontier_rows_before": 0
+    }

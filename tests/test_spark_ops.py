@@ -289,3 +289,68 @@ def test_bloom_serialize_roundtrip():
     back = BloomShards.deserialize(rows, 1 << 12, 5)
     for i in range(100):
         assert back.might_contain(f"https://x.t/{i}", i % 4)
+
+
+def test_regex_free_guard_rejects_non_ascii(spark):
+    from scrapy_playwright_scrapegraphai_spark.operators.politeness import (
+        rules_are_regex_free,
+    )
+
+    ascii_ok = _robots_df(spark, [("h1.t", ["/ok/"], ["/private/"], 2.0)])
+    assert rules_are_regex_free(ascii_ok)
+    meta = _robots_df(spark, [("h1.t", [], ["/p.*/"], 2.0)])
+    assert not rules_are_regex_free(meta)
+    # non-ASCII patterns must fall back to the Python-parity UDF: JVM
+    # lower() and str.lower() disagree on e.g. 'İ'
+    non_ascii = _robots_df(spark, [("h1.t", [], ["/İstanbul/"], 2.0)])
+    assert not rules_are_regex_free(non_ascii)
+
+
+def test_bloom_shard_local_probe_matches_broadcast(spark):
+    urls = [f"https://h{i % 7}.t/p/{i}" for i in range(3000)]
+    seen = spark.createDataFrame([(u,) for u in urls[:2000]], "url string")
+    bloom = BloomShards.sized_for(4000, num_shards=8)
+    bloom.add_df(seen)
+    cand = spark.createDataFrame(
+        [(u, i) for i, u in enumerate(urls)], "url string, n int"
+    )
+    bc = {(r["url"], r["n"]): r["_maybe"]
+          for r in bloom.with_maybe_flag(cand).collect()}
+    local = {(r["url"], r["n"]): r["_maybe"]
+             for r in bloom.with_maybe_flag_shard_local(cand).collect()}
+    assert bc == local
+    # no false negatives on the seen side
+    assert all(local[(u, i)] for i, u in enumerate(urls[:2000]))
+
+
+def test_engine_shard_local_bloom_equals_exact(spark, tmp_path):
+    """Forcing the partition-local bloom probe (broadcast budget 0) must
+    leave the crawl result byte-identical to the exact no-bloom path."""
+    import tempfile
+
+    from scrapy_playwright_scrapegraphai_spark.plans.driver import (
+        CrawlConfig,
+        CrawlEngine,
+    )
+    from scrapy_playwright_scrapegraphai_spark.sources.synth import (
+        corpus_to_spark,
+        generate_corpus,
+    )
+
+    corpus = generate_corpus(n_hosts=5, pages_per_host=8, seed=11)
+    pages, seeds, robots = corpus_to_spark(spark, corpus)
+
+    def run(**kw):
+        eng = CrawlEngine(
+            spark, pages, seeds, robots, tempfile.mkdtemp(),
+            CrawlConfig(superstep_seconds=9.0, **kw),
+        )
+        r = eng.run()
+        return sorted(
+            (x["discovery_seq"], x["url"], x["url_state"], x["superstep"])
+            for x in r.frontier.collect()
+        )
+
+    exact = run(use_bloom=False)
+    shard_local = run(use_bloom=True, bloom_broadcast_max_bytes=0)
+    assert exact == shard_local
