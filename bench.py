@@ -64,11 +64,16 @@ HEADLINE = [
     "tpch_q3_like",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
     "dedup_minhash_lsh",
+    "embedding_dup_pairs_gated",
+    "config_url_log",
     "text_quality",
     "text_langid",
+    "text_winnowing",
     "knn_bruteforce",
     "knn_lsh",
+    "knn_ivf",
 ]
 
 

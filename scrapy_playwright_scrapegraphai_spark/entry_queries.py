@@ -1206,6 +1206,75 @@ FROM documents
 """
 
 
+def q_text_tokens_bpe(spark, sf):
+    """BPE-ish pre-tokenization counts (GPT-2-style run splitting, ASCII
+    classes so Java regex and RE2 agree; functions/text.py
+    BPE_TOKEN_PATTERN). JVM regexp_extract_all — no Python."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        T.bpe_token_count_expr(F.col("text")).cast("long").alias("n_bpe_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]+"), F.lit(0))
+        ).cast("long").alias("n_alpha_runs"),
+    )
+
+
+SQL_TEXT_TOKENS_BPE = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
+            AS BIGINT) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_alpha_runs
+FROM documents
+"""
+
+
+def q_text_winnowing(spark, sf):
+    """Winnowing document fingerprints (k=3-gram rolling hashes, window
+    w=4 minima — Schleimer et al. SIGMOD'03) as pure JVM array
+    expressions with a portable md5-derived hash; the oracle recomputes
+    every fingerprint (functions/text.py winnowing_exprs)."""
+    d = _t(spark, sf, "documents")
+    wx = T.winnowing_exprs(F.col("text"), k=3, w=4)
+    return d.select(
+        "doc_id",
+        wx["n_kgrams"].alias("n_kgrams"),
+        wx["n_fingerprints"].alias("n_fingerprints"),
+        wx["fp_min"].alias("fp_min"),
+        wx["fp_max"].alias("fp_max"),
+    )
+
+
+SQL_TEXT_WINNOWING = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), kg AS (
+  SELECT doc_id, i.i AS i,
+         CASE WHEN len(t) >= 3 THEN array_to_string(t[i.i : i.i + 2], ' ')
+              ELSE array_to_string(t, ' ') END AS s
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i(i)
+), h AS (
+  SELECT doc_id, i, md5_number_upper(s) & 2305843009213693951 AS hv FROM kg
+), nn AS (
+  SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id
+), win AS (
+  SELECT h.doc_id, j.j AS j, MIN(h.hv) AS fp
+  FROM h
+  JOIN nn ON h.doc_id = nn.doc_id,
+       unnest(generate_series(0, greatest(nn.n - 4, 0))) AS j(j)
+  WHERE h.i BETWEEN j.j + 1 AND j.j + 4
+  GROUP BY h.doc_id, j.j
+)
+SELECT w.doc_id,
+       CAST(n.n AS BIGINT) AS n_kgrams,
+       CAST(COUNT(DISTINCT w.fp) AS BIGINT) AS n_fingerprints,
+       CAST(MIN(w.fp) AS BIGINT) AS fp_min,
+       CAST(MAX(w.fp) AS BIGINT) AS fp_max
+FROM win w JOIN nn n ON w.doc_id = n.doc_id
+GROUP BY w.doc_id, n.n
+"""
+
+
 def q_text_quality(spark, sf):
     """Quality features: integer per-mille ratios."""
     d = _t(spark, sf, "documents")
@@ -1464,6 +1533,8 @@ QUERIES = {
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "text_tokens": q_text_tokens,
+    "text_tokens_bpe": q_text_tokens_bpe,
+    "text_winnowing": q_text_winnowing,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
@@ -1512,6 +1583,8 @@ ORACLE_SQL = {
     "knn_lsh": _sql_knn_lsh(),
     "knn_ivf": SQL_KNN_IVF,
     "text_tokens": SQL_TEXT_TOKENS,
+    "text_tokens_bpe": SQL_TEXT_TOKENS_BPE,
+    "text_winnowing": SQL_TEXT_WINNOWING,
     "text_quality": SQL_TEXT_QUALITY,
     "text_langid": SQL_TEXT_LANGID,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,

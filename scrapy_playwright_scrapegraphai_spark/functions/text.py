@@ -90,6 +90,73 @@ def fingerprint_md5_expr(text) -> Column:
     return F.md5(text)
 
 
+# GPT-2-style pre-tokenization, ASCII-simplified so the pattern parses
+# identically under Java regex (Spark) and RE2 (DuckDB): letter runs,
+# digit runs, and non-alphanumeric-non-space runs.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count_expr(text) -> Column:
+    """BPE-ish token count: matches of BPE_TOKEN_PATTERN (JVM regex,
+    whole-stage codegen; the whitespace count in ``token_count_expr`` is
+    the cheap variant)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+
+
+_MERSENNE61 = (1 << 61) - 1
+
+
+def md5_le64_expr(s) -> Column:
+    """Portable 61-bit hash: little-endian uint64 of the first 8 md5
+    bytes, masked to 61 bits — equals DuckDB's
+    ``md5_number_upper(s) & (2^61-1)`` and Python's
+    ``int.from_bytes(md5(s)[:8], 'little') & (2^61-1)``. Built from the
+    md5 hex string with bitwise ORs only (no arithmetic → no ANSI-mode
+    overflow), all JVM-side."""
+    md5 = F.md5(s)
+    total = F.lit(0).cast("long")
+    for i in range(8):
+        byte = F.conv(F.substring(md5, 2 * i + 1, 2), 16, 10).cast("long")
+        total = total.bitwiseOR(F.shiftleft(byte, 8 * i))
+    return total.bitwiseAND(F.lit(_MERSENNE61))
+
+
+def winnowing_exprs(text, k: int = 3, w: int = 4) -> dict[str, Column]:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03) as
+    pure JVM array expressions — the rolling-hash fingerprint selection
+    used for plagiarism/near-dup detection at scale.
+
+    k-gram hashes h_1..h_n (portable md5-derived, ``md5_le64_expr``),
+    sliding windows of ``w`` consecutive hashes, fingerprint set =
+    {min(window)} deduplicated. Short docs (< k tokens: single k-gram =
+    the whole text; < w k-grams: one window over what exists) degrade
+    exactly like the jaccard shingler. Returns n_kgrams /
+    n_fingerprints / fp_min / fp_max column expressions — each engine
+    (Spark, DuckDB oracle) computes the identical values.
+    """
+    toks = tokens_expr(text)
+    kgrams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    hs = F.transform(kgrams, md5_le64_expr)
+    n = F.size(hs)
+    windows = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - w, F.lit(0))),
+        lambda j: F.array_min(F.slice(hs, j + 1, w)),
+    )
+    fps = F.array_distinct(windows)
+    return {
+        "n_kgrams": n.cast("long"),
+        "n_fingerprints": F.size(fps).cast("long"),
+        "fp_min": F.array_min(fps),
+        "fp_max": F.array_max(fps),
+    }
+
+
 @pandas_udf(LongType())
 def rolling_fingerprint_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
     """64-bit polynomial rolling hash over UTF-8 bytes (mod 2^61-1) — the

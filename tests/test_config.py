@@ -208,3 +208,58 @@ def test_yaml_driven_crawl_e2e(spark, tmp_path):
     got, want = run(seeds_yaml), run(seeds_prog)
     assert got == want
     assert len(got) > 2  # the crawl actually expanded
+
+
+def test_run_crawl_cli_surface(spark, tmp_path):
+    """run.py: YAML-driven run_crawl with the --url_seed_root_id filter
+    (run_spider.py:21-60 + frontier_spider.py:58-59 parity)."""
+    import textwrap as tw
+
+    from scrapy_playwright_scrapegraphai_spark.run import run_crawl
+    from scrapy_playwright_scrapegraphai_spark.sources.synth import (
+        corpus_to_spark,
+        generate_corpus,
+    )
+
+    corpus = generate_corpus(n_hosts=4, pages_per_host=8, seed=3)
+    pages, _, robots = corpus_to_spark(spark, corpus)
+    yaml_path = tmp_path / "cfg.yaml"
+    yaml_path.write_text(tw.dedent(
+        """
+        categories:
+          - name: "A"
+            urls:
+              - url_seed_root_id: 0
+                url: "https://host0.example.test/page/0"
+                type: 2
+                target_patterns: [".pdf"]
+                seed_pattern: "/page/"
+                max_depth: 1
+              - url_seed_root_id: 1
+                url: "https://host1.example.test/page/0"
+                type: 1
+                target_patterns: [".pdf"]
+                seed_pattern: null
+                max_depth: 0
+        """
+    ))
+    # full run: both roots crawled, robots=None → ROBOTSTXT_OBEY=False
+    r_all = run_crawl(spark, pages, str(yaml_path), str(tmp_path / "ck_all"))
+    roots_all = {
+        r["root_seed_id"]
+        for r in r_all.frontier.filter("is_root").collect()
+    }
+    assert roots_all == {0, 1}
+    assert r_all.frontier.filter("url_state = 'skipped'").count() == 0
+
+    # filtered run: only root 1
+    r_one = run_crawl(
+        spark, pages, str(yaml_path), str(tmp_path / "ck_one"),
+        url_seed_root_id=1,
+    )
+    roots_one = {
+        r["root_seed_id"]
+        for r in r_one.frontier.filter("is_root").collect()
+    }
+    assert roots_one == {1}
+    assert r_one.frontier.count() < r_all.frontier.count()
