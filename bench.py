@@ -64,7 +64,6 @@ HEADLINE = [
     "tpch_q3_like",
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_capped",
     "dedup_minhash_lsh",
     "embedding_dup_pairs_gated",
     "config_url_log",

@@ -14,9 +14,15 @@ order), which would flip top-k ties. All integer arithmetic stays below
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.column import Column
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import LongType
 
 
 def quantize_expr(col, scale: int = 1000) -> Column:
@@ -233,15 +239,33 @@ def hyperplane_buckets(
     """
     sig = F.lit(0).cast("long")
     if planes is not None:
-        qv = quantize_expr(F.col(vec_col), scale)
-        for p, plane in enumerate(planes):
-            proj = int_dot_expr(
-                qv, F.array(*[F.lit(s).cast("long") for s in plane])
-            )
-            sig = sig + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        return embeddings.select(F.col(id_col), sig.alias("bucket"))
+        # vectorized Arrow path: ONE batched int64 matmul per Arrow batch
+        # — quantize (floor(x*scale), same op as quantize_expr), project
+        # onto the ±1 plane matrix, fold sign bits. Integer-exact, so the
+        # buckets are bit-identical to the relational SQL-oracle
+        # computation, with zero shuffles and none of the per-element
+        # interpreted higher-order-function cost (zip_with/aggregate are
+        # not codegen'd); the plane matrix rides the closure (tiny).
+        P = np.array(planes, dtype=np.int64)
+        weights = (np.int64(1) << np.arange(P.shape[0], dtype=np.int64))
+        fscale = float(scale)
+
+        @pandas_udf(LongType())
+        def _bucket(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            for vs in it:
+                if len(vs) == 0:
+                    yield pd.Series([], dtype="int64")
+                    continue
+                arr = np.floor(
+                    np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+                    * fscale
+                ).astype(np.int64)
+                proj = arr @ P.T  # (rows, planes), exact int64
+                yield pd.Series((proj > 0).astype(np.int64) @ weights)
+
+        return embeddings.select(
+            F.col(id_col), _bucket(F.col(vec_col)).alias("bucket")
+        )
 
     dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
 
