@@ -379,6 +379,107 @@ def ivf_cells(
     return cent, assign
 
 
+def fdot_expr(a, b) -> Column:
+    """Float dot product (array<double>) — deterministic: per-row
+    left-to-right aggregate, no cross-row float accumulation."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def kmeans_refine_cells(
+    embeddings: DataFrame,
+    num_cells: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Lloyd's k-means refinement of the IVF coarse codebook,
+    deterministic and partitioning-invariant by construction.
+
+    Start = the seed codebook (lowest-``num_cells`` ids, ``ivf_cells``).
+    Each iteration assigns every vector to its nearest centroid and
+    recomputes centroids as member means. Determinism discipline:
+    - the only cross-row aggregations are INTEGER sums/counts of the
+      quantized vectors (order-independent — no float accumulation
+      across rows, so physical partitioning cannot change results);
+    - per-row float math (centroid mean, distances) is a fixed
+      expression tree → bit-identical on every executor;
+    - argmin ties break on lowest cell id;
+    - cells that lose all members keep their previous centroid.
+    Returns (cell, cf: array<double> centroid, cn: double |cf|²). Each
+    iteration is one broadcast-assign + one posexplode/sum shuffle —
+    at 10^9 vectors that is the standard scalable Lloyd step.
+    """
+    v = embeddings.select(
+        F.col(id_col).alias("vid"),
+        quantize_expr(F.col(vec_col), scale).alias("qv"),
+    ).withColumn("n", sq_norm_expr(F.col("qv")))
+    # seed centroids: the integer seed codebook as floats
+    cent = (
+        v.orderBy("vid").limit(num_cells)
+        .select(
+            F.col("vid").alias("cell"),
+            F.transform(F.col("qv"), lambda x: x.cast("double")).alias("cf"),
+        )
+        .withColumn("cn", fdot_expr(F.col("cf"), F.col("cf")))
+    )
+    for _ in range(max(0, iters)):
+        d2 = (
+            F.col("n").cast("double")
+            - F.lit(2.0) * fdot_expr(
+                F.transform(F.col("qv"), lambda x: x.cast("double")),
+                F.col("cf"),
+            )
+            + F.col("cn")
+        )
+        w = Window.partitionBy("vid").orderBy(F.col("_d2").asc(), F.col("cell").asc())
+        assign = (
+            v.crossJoin(F.broadcast(cent))
+            .withColumn("_d2", d2)
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("vid", "cell", "qv")
+        )
+        sums = (
+            assign.select("cell", F.posexplode("qv").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"))  # exact int — order-independent
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                    lambda x: x["s"],
+                ).alias("S")
+            )
+        )
+        counts = assign.groupBy("cell").agg(F.count("*").alias("m"))
+        new_cf = (
+            sums.join(counts, "cell")
+            .select(
+                "cell",
+                F.transform(
+                    F.col("S"), lambda s: s.cast("double") / F.col("m")
+                ).alias("cf"),
+            )
+            .withColumn("cn", fdot_expr(F.col("cf"), F.col("cf")))
+        )
+        # empty cells keep their previous centroid
+        cent = (
+            cent.select("cell", F.col("cf").alias("_old_cf"),
+                        F.col("cn").alias("_old_cn"))
+            .join(new_cf, "cell", "left")
+            .select(
+                "cell",
+                F.coalesce("cf", "_old_cf").alias("cf"),
+                F.coalesce("cn", "_old_cn").alias("cn"),
+            )
+        )
+        cent = cent.localCheckpoint(eager=True)  # truncate iteration lineage
+    return cent
+
+
 def knn_ivf(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -388,6 +489,7 @@ def knn_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """Approximate top-k via IVF: probe the ``nprobe`` nearest cells only.
 
@@ -399,6 +501,63 @@ def knn_ivf(
     100 TB the assignments live as a cell-partitioned table so a probe
     reads only its cells' files (partition pruning).
     """
+    if refine_iters > 0:
+        # k-means-refined float codebook: assignment + probe selection go
+        # through deterministic float distances; final scoring stays
+        # integer (same output schema/semantics as the seed path)
+        centf = kmeans_refine_cells(
+            embeddings, num_cells, refine_iters, id_col, vec_col, scale
+        )
+        v = embeddings.select(
+            F.col(id_col).alias("vid"),
+            quantize_expr(F.col(vec_col), scale).alias("qv"),
+        ).withColumn("n", sq_norm_expr(F.col("qv")))
+        d2f = (
+            F.col("n").cast("double")
+            - F.lit(2.0) * fdot_expr(
+                F.transform(F.col("qv"), lambda x: x.cast("double")),
+                F.col("cf"),
+            )
+            + F.col("cn")
+        )
+        wv = Window.partitionBy("vid").orderBy(
+            F.col("_d2").asc(), F.col("cell").asc()
+        )
+        assign = (
+            v.crossJoin(F.broadcast(centf))
+            .withColumn("_d2", d2f)
+            .withColumn("_r", F.row_number().over(wv))
+            .filter(F.col("_r") == 1)
+            .select("vid", "cell", "qv")
+        )
+        q = queries.select(
+            "query_id", quantize_expr(F.col(vec_col), scale).alias("qv")
+        ).withColumn("n", sq_norm_expr(F.col("qv")))
+        qd = F.broadcast(q).crossJoin(F.broadcast(centf)).select(
+            "query_id", "qv", "cell", d2f.alias("d2")
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.col("d2").asc(), F.col("cell").asc()
+        )
+        probes = (
+            qd.withColumn("_r", F.row_number().over(wq))
+            .filter(F.col("_r") <= nprobe)
+            .select("query_id", F.col("qv").alias("pqv"), "cell")
+        )
+        scored = F.broadcast(probes).join(assign, "cell").select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            int_dot_expr(F.col("pqv"), F.col("qv")).alias("dot"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("dot").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "dot", "rank")
+        )
+
     cent, assign = ivf_cells(embeddings, num_cells, id_col, vec_col, scale)
     q = queries.select(
         "query_id", quantize_expr(F.col(vec_col), scale).alias("qv")

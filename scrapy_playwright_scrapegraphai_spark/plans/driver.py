@@ -75,6 +75,14 @@ class CrawlConfig:
     superstep_seconds: float = 10.0  # wall-clock window a superstep models
     retry_times: int = 1             # settings.py:38 RETRY_TIMES = 1
     salt_shards: int = 8             # politeness two-phase salt fan-out
+    # scheduling priority: admission ranks work by these frontier columns
+    # (ascending). Default = FIFO by dense discovery order (queries.sql:62
+    # ORDER BY insert_date). ("depth", "discovery_seq") gives strict-BFS;
+    # any numeric score column prepended makes the frontier a score
+    # priority queue (north-rule "depth/score priority queue") — the
+    # politeness two-phase rank is priority-agnostic. The trailing
+    # discovery_seq keeps the order total ⇒ admission deterministic.
+    order_cols: tuple = ("discovery_seq",)
     seq_mode: str = "ranged"         # discovery_seq assignment strategy
     use_bloom: bool = True
     bloom_shards: int = 16
@@ -429,6 +437,7 @@ class CrawlEngine:
             tagged = (
                 politeness.admit_tagged(
                     work, self.robots, cfg.superstep_seconds, step_salt,
+                    order_cols=cfg.order_cols,
                     native_robots=self._native_robots,
                 )
                 .observe(

@@ -246,3 +246,28 @@ def test_ivf_assignment_partitions_corpus(emb):
     assert len(rows) == n  # every vector in exactly one cell
     cells = {r["cell"] for r in rows}
     assert cells <= {r["cell"] for r in cent.collect()}
+
+
+def test_knn_ivf_kmeans_refined(emb):
+    """k-means-refined IVF: deterministic across physical partitioning
+    (integer centroid sums — no cross-row float accumulation) and recall
+    at least as good as the probe floor on the clustered corpus."""
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.knn_bruteforce(emb, queries, k=5).collect()
+    r1 = S.knn_ivf(emb, queries, k=5, num_cells=16, nprobe=4,
+                   refine_iters=2).collect()
+    r2 = S.knn_ivf(emb.repartition(7), queries, k=5, num_cells=16, nprobe=4,
+                   refine_iters=2).collect()
+    key = lambda rows: sorted(
+        (r["query_id"], r["neighbor_id"], r["dot"], r["rank"]) for r in rows
+    )
+    assert key(r1) == key(r2)  # bit-stable across partitioning
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    ref_set = {(r["query_id"], r["neighbor_id"]) for r in r1}
+    recall = len(exact_set & ref_set) / len(exact_set)
+    assert recall >= 0.4, f"refined IVF recall {recall}"
+    # refined centroids must partition the corpus completely
+    cent = S.kmeans_refine_cells(emb, num_cells=8, iters=2)
+    assert cent.count() == 8

@@ -354,3 +354,80 @@ def test_engine_shard_local_bloom_equals_exact(spark, tmp_path):
     exact = run(use_bloom=False)
     shard_local = run(use_bloom=True, bloom_broadcast_max_bytes=0)
     assert exact == shard_local
+
+
+def test_native_robots_verdict_matches_udf_on_ascii(spark):
+    """Property check (grid, not hypothesis — one Spark job): for every
+    ASCII regex-free rule set the JVM-native substring verdict must equal
+    the Python-parity UDF verdict, including non-ASCII URLs."""
+    from scrapy_playwright_scrapegraphai_spark.operators.politeness import (
+        rules_are_regex_free,
+        with_robots,
+    )
+
+    urls = [
+        "https://h0.t/private/x",
+        "https://h0.t/PRIVATE/y",
+        "https://h0.t/ok/page",
+        "https://h0.t/private/allowed/z",
+        "https://h0.t/İstanbul/private/a",  # non-ASCII url, ASCII patterns
+        "https://h0.t/straße/ok",
+        "https://h1.t/anything",            # host with no rules row
+    ]
+    work = spark.createDataFrame(
+        [(u, u.split("/")[2], i) for i, u in enumerate(urls)],
+        "url string, main_domain string, discovery_seq long",
+    )
+    robots = _robots_df(
+        spark, [("h0.t", ["/private/allowed/"], ["/private/", "/PRIVATE/"], 2.0)]
+    )
+    assert rules_are_regex_free(robots)
+    native = {
+        r["url"]: r["_robots_ok"]
+        for r in with_robots(work, robots, native=True).collect()
+    }
+    python = {
+        r["url"]: r["_robots_ok"]
+        for r in with_robots(work, robots, native=False).collect()
+    }
+    assert native == python
+    assert native["https://h0.t/ok/page"] is True
+    assert native["https://h0.t/private/x"] is False
+    assert native["https://h0.t/private/allowed/z"] is True
+    assert native["https://h1.t/anything"] is True  # no rules ⇒ allowed
+
+
+def test_priority_queue_order_cols(spark):
+    """CrawlConfig.order_cols: a depth-prioritized run admits the same
+    URL SET as FIFO (set semantics are order-independent given the
+    first-writer-wins discipline) while the per-superstep admission
+    order can differ under a tight politeness budget."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from scrapy_playwright_scrapegraphai_spark.plans.driver import (
+        CrawlConfig,
+        CrawlEngine,
+    )
+    from scrapy_playwright_scrapegraphai_spark.sources.synth import (
+        corpus_to_spark,
+        generate_corpus,
+    )
+
+    corpus = generate_corpus(n_hosts=4, pages_per_host=8, seed=5)
+    pages, seeds, robots = corpus_to_spark(spark, corpus)
+
+    def run(order_cols):
+        eng = CrawlEngine(
+            spark, pages, seeds, robots, tempfile.mkdtemp(),
+            CrawlConfig(superstep_seconds=6.0, order_cols=order_cols),
+        )
+        r = eng.run()
+        rows = r.frontier.filter(~F.col("is_root")).collect()
+        return {x["url"] for x in rows}, r.supersteps_run
+
+    fifo_set, _ = run(("discovery_seq",))
+    bfs_set, _ = run(("depth", "discovery_seq"))
+    assert fifo_set == bfs_set
+    assert len(fifo_set) > 10
