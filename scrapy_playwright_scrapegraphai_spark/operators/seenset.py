@@ -228,6 +228,54 @@ class BloomShards:
     def serialize(self) -> list[tuple[int, bytes]]:
         return [(i, bm.tobytes()) for i, bm in enumerate(self.bitmaps)]
 
+    # --- checkpoint persistence ---------------------------------------------
+
+    def save(self, path: str, step: int) -> None:
+        """Atomically persist the shards + params as of committed ``step``.
+
+        Driver-side plain-file write (the blobs already live in driver
+        memory after the delta merge) — tmp file + rename, so a kill
+        mid-write leaves the previous snapshot. At 10^10 scale with an
+        Iceberg catalog the same rows live in a seen-shards table keyed
+        by (step, shard); this is the parquet-fallback equivalent.
+        """
+        import os
+        import pickle
+
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            pickle.dump(
+                {
+                    "step": step,
+                    "num_shards": self.num_shards,
+                    "bits": self.bits,
+                    "k": self.k,
+                    "blobs": [bm.tobytes() for bm in self.bitmaps],
+                },
+                fh,
+            )
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "tuple[BloomShards, int] | None":
+        """(shards, committed_step) from ``save``; None if absent/corrupt
+        (callers fall back to rebuilding from the frontier)."""
+        import os
+        import pickle
+
+        if not os.path.exists(path):
+            return None
+        try:
+            with open(path, "rb") as fh:
+                d = pickle.load(fh)
+            obj = cls(d["num_shards"], d["bits"], d["k"])
+            obj.bitmaps = [
+                np.frombuffer(b, dtype=np.uint8).copy() for b in d["blobs"]
+            ]
+            return obj, int(d["step"])
+        except Exception:
+            return None
+
     @classmethod
     def deserialize(cls, rows, bits_per_shard: int, num_hashes: int) -> "BloomShards":
         rows = sorted(rows)

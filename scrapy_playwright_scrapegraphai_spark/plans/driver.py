@@ -174,27 +174,68 @@ class CrawlEngine:
             .select(*FRONTIER_COLUMNS)
         )
 
+    def _bloom_path(self) -> str:
+        import os
+
+        return os.path.join(self.store.root, "bloom_shards.bin")
+
     def _build_bloom(
-        self, frontier: DataFrame, known_empty: bool = False
+        self,
+        frontier: DataFrame,
+        known_empty: bool = False,
+        resume_step: int | None = None,
     ) -> BloomShards | None:
         if not self.cfg.use_bloom:
             return None
-        bloom = BloomShards.sized_for(self.cfg.expected_urls, self.cfg.bloom_shards)
+        sized = BloomShards.sized_for(self.cfg.expected_urls, self.cfg.bloom_shards)
+        if resume_step is not None:
+            # resume fast path: load the persisted shards (O(shards), a
+            # few MB of driver IO) instead of re-scanning the frontier
+            # (O(seen-set) — a full-table job at the 10^10 design point);
+            # steps committed after the last save merge their new_rows
+            # deltas. Any mismatch (absent/corrupt file, re-sized config,
+            # file from the future) falls back to the exact rebuild.
+            loaded = BloomShards.load(self._bloom_path())
+            if loaded is not None:
+                bloom, saved_step = loaded
+                if (
+                    (bloom.num_shards, bloom.bits, bloom.k)
+                    == (sized.num_shards, sized.bits, sized.k)
+                    and saved_step <= resume_step
+                ):
+                    for s in range(saved_step + 1, resume_step + 1):
+                        if self.store.has_table(s, "new_rows"):
+                            bloom.add_df(
+                                self.store.read_table(
+                                    self.spark, s, "new_rows"
+                                ).select("url")
+                            )
+                    self._bloom_pending = []
+                    self._bloom_source = "checkpoint"
+                    return bloom
+        bloom = sized
         if not known_empty:
             seen = frontier.filter(~F.col("is_root")).select("url")
             bloom.add_df(seen)
-        # else: a fresh start's frontier holds only root rows (excluded from
-        # the seen set by construction) — skip the empty-scan Spark job
+            self._bloom_source = "rebuilt"
+        else:
+            # a fresh start's frontier holds only root rows (excluded from
+            # the seen set by construction) — skip the empty-scan Spark job
+            self._bloom_source = "fresh"
         self._bloom_pending = []  # frontier already covers everything committed
         return bloom
 
     def _start_bloom_merge(self, spark: SparkSession, bloom: BloomShards,
-                           path: str) -> None:
+                           path: str, step: int) -> None:
         """OR the committed new_rows' urls into the shards on a background
         thread — overlaps with the frontier advance and the next step's
         politeness/fetch planning. At most one merge is ever in flight
         (the flush below joins before the next probe), so the bitmap
-        mutation is race-free."""
+        mutation is race-free. After the merge the shards are persisted
+        next to the snapshots (atomic rename) so a resumed run loads them
+        instead of re-scanning the frontier; a kill mid-save leaves the
+        previous save, which the resume path tops up from the committed
+        new_rows deltas."""
         import threading
 
         state = {"err": None}
@@ -202,6 +243,7 @@ class CrawlEngine:
         def run():
             try:
                 bloom.add_df(spark.read.parquet(path).select("url"))
+                bloom.save(self._bloom_path(), step)
             except BaseException as e:  # noqa: BLE001 — must not lose it
                 state["err"] = e
 
@@ -377,7 +419,18 @@ class CrawlEngine:
         import sys
 
         t_init = time.monotonic()
-        bloom = self._build_bloom(frontier, known_empty=fresh_start)
+        if fresh_start:
+            # a stale shard file (e.g. after an external wipe of manifests)
+            # must not leak into a new run
+            import os
+
+            if os.path.exists(self._bloom_path()):
+                os.remove(self._bloom_path())
+        bloom = self._build_bloom(
+            frontier,
+            known_empty=fresh_start,
+            resume_step=None if fresh_start else step,
+        )
         if cfg.profile:
             print(f"[profile] bloom_build={time.monotonic()-t_init:.1f}s",
                   file=sys.stderr)
@@ -725,7 +778,7 @@ class CrawlEngine:
             # background from the just-committed new_rows parquet;
             # _flush_bloom_pending joins before the next probe
             if bloom is not None and n_new:
-                self._start_bloom_merge(spark, bloom, tables["new_rows"])
+                self._start_bloom_merge(spark, bloom, tables["new_rows"], step)
             for df in (tagged, parsed, new_rows):
                 df.unpersist()
             _mark("advance")

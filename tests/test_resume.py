@@ -116,3 +116,43 @@ def test_store_reset_truncates_all_state(spark, corpus_spark, tmp_path):
     assert store.reset(spark) == {
         "steps_before": 0, "frontier_rows_before": 0
     }
+
+
+def test_bloom_persisted_and_loaded_on_resume(spark, corpus_spark, tmp_path):
+    """Resume loads the persisted bloom shards (O(shards) driver IO)
+    instead of rebuilding from the frontier, with identical results; a
+    missing/corrupt file falls back to the exact rebuild."""
+    import os
+
+    full = _engine(spark, corpus_spark, str(tmp_path / "bloomfull")).run()
+
+    ckpt = str(tmp_path / "bloomres")
+    eng = _engine(spark, corpus_spark, ckpt)
+    eng.run(max_supersteps=2)  # incomplete run
+    assert eng._bloom_source == "fresh"
+    assert os.path.exists(eng._bloom_path())  # saved by the merge thread
+
+    # corrupt file → resume must fall back to the exact rebuild, with
+    # identical final state (the bloom is a prefilter only)
+    with open(eng._bloom_path(), "wb") as fh:
+        fh.write(b"garbage")
+    eng2 = _engine(spark, corpus_spark, ckpt)
+    r2 = eng2.run()
+    assert eng2._bloom_source == "rebuilt"
+    assert _key(r2.frontier) == _key(full.frontier)
+
+
+def test_bloom_gap_merge_on_mid_run_resume(spark, corpus_spark, tmp_path):
+    """Kill after superstep 1 (bloom saved at step 1), resume to
+    completion: the loaded shards are topped up with later steps' deltas
+    and the final state equals an uninterrupted run."""
+    ckpt_a = str(tmp_path / "full")
+    full = _engine(spark, corpus_spark, ckpt_a).run()
+
+    ckpt_b = str(tmp_path / "killed")
+    eng1 = _engine(spark, corpus_spark, ckpt_b)
+    eng1.run(max_supersteps=1)  # "killed" after step 1; bloom file at step 1
+    eng2 = _engine(spark, corpus_spark, ckpt_b)
+    resumed = eng2.run()
+    assert eng2._bloom_source == "checkpoint"
+    assert _key(resumed.frontier) == _key(full.frontier)
