@@ -132,8 +132,11 @@ def crawl_run(cores: int) -> dict:
     # cores and quietly subsidize the LOW-core run, understating the
     # measured N→4N scaling. Affinity makes "local[2] vs local[8]" an
     # honest 2-CPU vs 8-CPU machine comparison — the sandbox stand-in for
-    # two cluster sizes.
-    os.sched_setaffinity(0, set(range(cores)))
+    # two cluster sizes. Pin to the first N CPUs of the ALLOWED set (a
+    # container cpuset may not start at CPU 0 — range(cores) would then
+    # EINVAL or silently under-pin).
+    allowed = sorted(os.sched_getaffinity(0))
+    os.sched_setaffinity(0, set(allowed[:cores]))
 
     from pyspark.sql import functions as F
 
@@ -249,10 +252,10 @@ def _hw_control(cores_pairs: tuple[int, int], n_pages: int = 4000) -> dict:
     out = {}
     full_affinity = os.sched_getaffinity(0)
     for k in cores_pairs:
-        # pin to k CPUs (inherited by the forked pool workers) — the same
-        # affinity discipline as the Spark runs, so control and subject
-        # see identical hardware at each simulated cluster size
-        os.sched_setaffinity(0, set(range(k)))
+        # pin to the first k ALLOWED CPUs (inherited by the forked pool
+        # workers) — the same affinity discipline as the Spark runs, so
+        # control and subject see identical hardware at each size
+        os.sched_setaffinity(0, set(sorted(full_affinity)[:k]))
         # workers read their own page slice from parquet (Pool.map would
         # otherwise pickle ~100 MB of html SERIALLY in the parent,
         # penalizing the high-core measurement); warm-up pass first so

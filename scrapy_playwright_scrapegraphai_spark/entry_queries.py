@@ -816,7 +816,7 @@ def q_dedup_ngram_jaccard(spark, sf):
 
 SQL_DEDUP_NGRAM_JACCARD = """
 WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents
 ), shingled AS (
   SELECT DISTINCT doc_id,
          array_to_string(t[i:i+2], ' ') AS sh
@@ -854,7 +854,7 @@ def q_dedup_ngram_jaccard_capped(spark, sf):
 
 SQL_DEDUP_NGRAM_JACCARD_CAPPED = """
 WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents
 ), shingled AS (
   SELECT DISTINCT doc_id,
          array_to_string(t[i:i+2], ' ') AS sh
@@ -898,13 +898,14 @@ def q_dedup_minhash_lsh(spark, sf):
 # joined with '-'; candidates = distinct same-band collisions.
 SQL_DEDUP_MINHASH_LSH = """
 WITH toks AS (
-  SELECT doc_id AS doc, string_split(text, ' ') AS t FROM documents
+  SELECT doc_id AS doc, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents WHERE text IS NOT NULL
 ), sh AS (
   SELECT DISTINCT doc, array_to_string(t[i:i+2], ' ') AS s
   FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
   WHERE len(t) >= 3
   UNION
-  SELECT DISTINCT doc, array_to_string(t, ' ') AS s FROM toks WHERE len(t) < 3
+  SELECT DISTINCT doc, array_to_string(t, ' ') AS s
+  FROM toks WHERE len(t) BETWEEN 1 AND 2
 ), h AS (
   SELECT doc,
          CAST(md5_number_upper(s) & 2305843009213693951 AS HUGEINT) AS a,
@@ -914,6 +915,11 @@ WITH toks AS (
   SELECT doc, i.i AS i, MIN((a + i.i * b) % 2305843009213693951) AS sig_i
   FROM h, unnest(generate_series(0, 63)) AS i(i)
   GROUP BY doc, i.i
+  UNION ALL
+  -- tokenless docs: the engine emits the all-MERSENNE signature
+  SELECT doc, i.i AS i, CAST(2305843009213693951 AS HUGEINT) AS sig_i
+  FROM toks, unnest(generate_series(0, 63)) AS i(i)
+  WHERE len(t) = 0
 ), bands AS (
   SELECT doc, CAST(i // 4 AS INT) AS band_idx,
          string_agg(sig_i::VARCHAR, '-' ORDER BY i) AS band_hash
@@ -939,7 +945,7 @@ def q_dedup_simhash(spark, sf):
 
 SQL_DEDUP_SIMHASH = """
 WITH toks AS (
-  SELECT doc_id AS doc, string_split(text, ' ') AS t FROM documents
+  SELECT doc_id AS doc, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents WHERE text IS NOT NULL
 ), sh AS (
   SELECT DISTINCT doc, u.s FROM toks, unnest(t) AS u(s)
 ), h AS (
@@ -956,6 +962,9 @@ WITH toks AS (
                   THEN CAST(1 AS HUGEINT) << b.j
                   ELSE CAST(0 AS HUGEINT) END) AS u
   FROM bits b JOIN nsh n ON b.doc = n.doc GROUP BY b.doc
+  UNION ALL
+  -- tokenless docs: the engine emits signature 0
+  SELECT doc, CAST(0 AS HUGEINT) AS u FROM toks WHERE len(t) = 0
 ), ssig AS (
   SELECT doc, u,
          CAST(CASE WHEN u >= 9223372036854775808

@@ -185,6 +185,7 @@ def minhash_lsh_candidates(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
+    df = df.filter(F.col(text_col).isNotNull())  # null docs carry no signature
     sig = df.select(
         F.col(id_col).alias("doc"), make_minhash_udf(num_hashes, shingle_n)(
             F.col(text_col)
@@ -274,6 +275,7 @@ def simhash_candidates(
     (pigeonhole), so candidates come from chunk-bucket joins, then the
     exact hamming check filters. Returns (doc_a, doc_b, hamming).
     """
+    df = df.filter(F.col(text_col).isNotNull())  # null docs carry no signature
     sigs = df.select(
         F.col(id_col).alias("doc"),
         make_simhash_udf(shingle_n)(F.col(text_col)).alias("sig"),
@@ -335,9 +337,16 @@ def ngram_jaccard_pairs(
     shingles can't flip the verdict — use None for exact small-scale runs).
     Returns (doc_a, doc_b, shared, n_a, n_b).
     """
+    # Python str.split() semantics (split on whitespace RUNS, drop empty
+    # tokens) — identical to the sketch UDFs' _shingles tokenizer and to
+    # the oracle SQL's filtered regex split, so multi-space/tab/newline
+    # documents shingle the same way on every path
     toks = df.select(
         F.col(id_col).alias("doc"),
-        F.split(F.col(text_col), " ").alias("toks"),
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"),
+            lambda x: x != F.lit(""),
+        ).alias("toks"),
     )
     shingled = toks.select(
         "doc",

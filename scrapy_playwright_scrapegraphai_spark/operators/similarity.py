@@ -163,11 +163,15 @@ def lsh_gated_cosine_dup_pairs(
     cand = None
     for t in range(num_tables):
         planes = planes_tables[t] if planes_tables is not None else None
-        b = hyperplane_buckets(
-            v, num_planes, "vid", "_vec", seed=seed + 1000 * t, planes=planes,
-            scale=scale,
+        # bucket is a per-row column — no (id, bucket) side table to join
+        # back, which would cost one corpus-wide join per LSH table
+        bv = v.select(
+            "vid", "qv", "n",
+            hyperplane_bucket_col(
+                F.col("_vec"), num_planes, seed=seed + 1000 * t,
+                planes=planes, scale=scale,
+            ).alias("bucket"),
         )
-        bv = v.join(b, "vid").select("vid", "qv", "n", "bucket")
         a2, b2 = bv.alias("a"), bv.alias("b")
         pairs_t = a2.join(
             b2,
@@ -237,6 +241,24 @@ def hyperplane_buckets(
     Output (id, bucket) — equal buckets ⇒ angular-similarity candidates;
     recall is tested against brute force.
     """
+    return embeddings.select(
+        F.col(id_col),
+        hyperplane_bucket_col(
+            F.col(vec_col), num_planes, seed=seed, planes=planes, scale=scale
+        ).alias("bucket"),
+    )
+
+
+def hyperplane_bucket_col(
+    vec: Column,
+    num_planes: int = 16,
+    seed: int = 42,
+    planes: list[list[int]] | None = None,
+    scale: int = 1000,
+) -> Column:
+    """The bucket as a COLUMN expression — callers attach it with
+    ``withColumn`` instead of computing a (id, bucket) table and joining
+    it back (which would cost one corpus-wide join per LSH table)."""
     sig = F.lit(0).cast("long")
     if planes is not None:
         # vectorized Arrow path: ONE batched int64 matmul per Arrow batch
@@ -263,11 +285,9 @@ def hyperplane_buckets(
                 proj = arr @ P.T  # (rows, planes), exact int64
                 yield pd.Series((proj > 0).astype(np.int64) @ weights)
 
-        return embeddings.select(
-            F.col(id_col), _bucket(F.col(vec_col)).alias("bucket")
-        )
+        return _bucket(vec)
 
-    dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+    dim_idx = F.sequence(F.lit(0), F.size(vec) - 1)
 
     def _rademacher(plane: int):
         # closure (not a default arg — PySpark inspects lambda arity)
@@ -278,14 +298,14 @@ def hyperplane_buckets(
 
     for p in range(num_planes):  # num_planes is small and static → unroll
         proj = F.aggregate(
-            F.zip_with(F.col(vec_col), dim_idx, _rademacher(p)),
+            F.zip_with(vec, dim_idx, _rademacher(p)),
             F.lit(0.0),
             lambda a2, x: a2 + x,
         )
         sig = sig + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-    return embeddings.select(F.col(id_col), sig.alias("bucket"))
+    return sig
 
 
 def knn_lsh(
@@ -305,20 +325,18 @@ def knn_lsh(
     ``knn_bruteforce``; recall measured in tests. Pass ``planes`` (from
     ``portable_planes``) for the integer-exact oracle-checkable form.
     """
-    cb = hyperplane_buckets(
-        embeddings, num_planes, id_col, vec_col, seed, planes=planes
+    bucket = hyperplane_bucket_col(
+        F.col(vec_col), num_planes, seed=seed, planes=planes
     )
-    qb = hyperplane_buckets(
-        queries.withColumnRenamed("query_id", id_col), num_planes, id_col,
-        vec_col, seed, planes=planes,
-    ).withColumnRenamed(id_col, "query_id")
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         quantize_expr(F.col(vec_col)).alias("cv"),
-    ).join(cb.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+        bucket.alias("bucket"),
+    )
     q = queries.select(
-        "query_id", quantize_expr(F.col(vec_col)).alias("qv")
-    ).join(qb, "query_id")
+        "query_id", quantize_expr(F.col(vec_col)).alias("qv"),
+        bucket.alias("bucket"),
+    )
     scored = F.broadcast(q).join(c, "bucket").select(
         "query_id",
         "neighbor_id",

@@ -35,6 +35,16 @@ Scale notes (10^10-URL design point):
   exception: a politeness-bounded SMALL batch's URL list is collected to
   push an In predicate into the pages scan (point-lookup path; the list
   is bounded by ``lookup_pushdown_threshold``).
+
+Canonicalization: the seen-set key is the EXACT url string (and
+``url_hash = xxhash64(url)``) — deliberately, because the north-rule
+parity mandate is to reproduce the reference's URL-seen set, and the
+reference dedups on exact strings after urljoin (pipelines.py:72-111).
+``kernels.canonicalize_url(mode='normalize')`` (K3) is the available
+normalizing key for corpora that want scheme/host case-folding and
+fragment stripping — apply it to the pages table and seed list at
+ingestion, which keeps every in-engine key consistent without a second
+per-superstep canonicalization pass.
 """
 
 from __future__ import annotations
@@ -363,6 +373,15 @@ class CrawlEngine:
         latest = self.store.latest_step() if resume else None
         fresh_start = latest is None
         if fresh_start:
+            # truncate ALL existing state first. A fresh run into a
+            # populated dir (run(resume=False), or a dir from a different
+            # corpus/seed list) would otherwise leave higher-numbered
+            # manifests from the old run in place; a later resume would
+            # see the stale latest_step and fold deltas from two
+            # different runs into one corrupted frontier. reset() also
+            # removes the persisted bloom shard file.
+            self.store.reset()
+
             from pyspark.sql import Observation
 
             # ONE job bootstraps everything: the step-0 write materializes
@@ -419,13 +438,6 @@ class CrawlEngine:
         import sys
 
         t_init = time.monotonic()
-        if fresh_start:
-            # a stale shard file (e.g. after an external wipe of manifests)
-            # must not leak into a new run
-            import os
-
-            if os.path.exists(self._bloom_path()):
-                os.remove(self._bloom_path())
         bloom = self._build_bloom(
             frontier,
             known_empty=fresh_start,

@@ -12,8 +12,10 @@ Robots default: the reference crawls with ``ROBOTSTXT_OBEY = False``
 everything admitted under the default crawl delay).
 
 Cluster launch (north rule): ``spark-submit --py-files sps_pkg.zip
--m scrapy_playwright_scrapegraphai_spark.run --pages ... --config ...``;
-in local sessions the package zip ships via ``ensure_worker_imports``.
+run_crawl_main.py --pages ... --config ...`` where the tiny wrapper
+script just calls :func:`main` (spark-submit takes a script path, not a
+module flag); locally, ``python -m scrapy_playwright_scrapegraphai_spark.run``
+works directly and the package zip ships via ``ensure_worker_imports``.
 """
 
 from __future__ import annotations

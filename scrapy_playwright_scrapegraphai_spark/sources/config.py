@@ -99,6 +99,14 @@ def seeds_from_config(config: dict) -> list[dict[str, Any]]:
     exactly this order (frontier_spider.py:48-100), and the engine's
     initial ``discovery_seq`` preserves it.
     """
+    if not isinstance(config, dict):
+        # yaml.safe_load returns None for an empty file; a top-level list
+        # is equally malformed — fail with the loader's error shape, not
+        # an AttributeError deep in the flattening loop
+        raise ValueError(
+            "invalid crawler config: expected a mapping with a "
+            f"'categories' list, got {type(config).__name__}"
+        )
     rows: list[dict[str, Any]] = []
     problems: list[str] = []
     for cat in config.get("categories") or []:

@@ -263,3 +263,9 @@ def test_run_crawl_cli_surface(spark, tmp_path):
     }
     assert roots_one == {1}
     assert r_one.frontier.count() < r_all.frontier.count()
+
+
+def test_empty_yaml_config_rejected(tmp_path):
+    for text in ("", "# just a comment\n", "- a\n- b\n"):
+        with pytest.raises(ValueError, match="invalid crawler config"):
+            C.seeds_from_config(C.load_crawler_config(_write(tmp_path, text)))

@@ -156,3 +156,30 @@ def test_bloom_gap_merge_on_mid_run_resume(spark, corpus_spark, tmp_path):
     resumed = eng2.run()
     assert eng2._bloom_source == "checkpoint"
     assert _key(resumed.frontier) == _key(full.frontier)
+
+
+def test_fresh_start_wipes_stale_higher_steps(spark, corpus_spark, tmp_path):
+    """run(resume=False) into a populated checkpoint truncates ALL prior
+    state; a later resume must see only the new run (never fold deltas
+    from two different runs)."""
+    ckpt = str(tmp_path / "stale")
+    old = _engine(spark, corpus_spark, ckpt).run()  # e.g. 4-5 supersteps
+    assert old.supersteps_run >= 3
+    store = SnapshotStore(ckpt)
+    old_latest = store.latest_step()
+
+    # fresh run, DIFFERENT workload (single root seed), fewer supersteps
+    pages, seeds, robots = corpus_spark
+    one_seed = seeds.filter(F.col("url_seed_root_id") == 1)
+    eng = CrawlEngine(
+        spark, pages, one_seed, robots, ckpt,
+        CrawlConfig(superstep_seconds=SS, expected_urls=20_000),
+    )
+    fresh = eng.run(resume=False)
+    assert store.latest_step() < old_latest  # stale manifests are gone
+    resumed = CrawlEngine(
+        spark, pages, one_seed, robots, ckpt,
+        CrawlConfig(superstep_seconds=SS, expected_urls=20_000),
+    ).run()
+    assert resumed.supersteps_run == 0  # fresh run had completed
+    assert _key(resumed.frontier) == _key(fresh.frontier)
