@@ -239,23 +239,20 @@ def crawl_run(cores: int) -> dict:
 # main
 # ---------------------------------------------------------------------------
 
-def _hw_control(cores_pairs: tuple[int, int], n_pages: int = 4000) -> dict:
-    """Hardware-ceiling control: the SAME fused page-parse kernel, run via
-    plain multiprocessing (no Spark, no JVM) at both core counts on the
-    same pages. On this VM per-core throughput drops as more cores go
-    busy (sustained-clock / hypervisor effects), so even a perfectly
-    parallel job cannot reach raw efficiency 1.0; this control measures
-    that ceiling for exactly our dominant workload and normalizes the
-    Spark ratio."""
+def _hw_control_one(k: int, n_pages: int = 4000) -> float:
+    """Hardware-ceiling control at ONE core count: the SAME fused
+    page-parse kernel via plain multiprocessing (no Spark, no JVM),
+    pinned to the first k allowed CPUs like the Spark runs. Returns
+    pages/sec. Measured immediately BEFORE and AFTER each crawl (see
+    main) because this VM's sustained-clock state drifts on a scale of
+    minutes — a control measured once up front misses throttling that
+    hits only the later crawl, which is exactly the run-to-run noise the
+    normalization exists to remove."""
     import multiprocessing as mp
 
-    out = {}
     full_affinity = os.sched_getaffinity(0)
-    for k in cores_pairs:
-        # pin to the first k ALLOWED CPUs (inherited by the forked pool
-        # workers) — the same affinity discipline as the Spark runs, so
-        # control and subject see identical hardware at each size
-        os.sched_setaffinity(0, set(sorted(full_affinity)[:k]))
+    os.sched_setaffinity(0, set(sorted(full_affinity)[:k]))
+    try:
         # workers read their own page slice from parquet (Pool.map would
         # otherwise pickle ~100 MB of html SERIALLY in the parent,
         # penalizing the high-core measurement); warm-up pass first so
@@ -268,12 +265,9 @@ def _hw_control(cores_pairs: tuple[int, int], n_pages: int = 4000) -> dict:
                 [(CORPUS_PATH, n_pages, i, k) for i in range(k)],
             )
             dt = time.monotonic() - t0
-        out[k] = n_pages / dt
-    os.sched_setaffinity(0, full_affinity)
-    lo, hi = cores_pairs
-    out["speedup"] = out[hi] / out[lo]
-    out["efficiency"] = out["speedup"] / (hi / lo)
-    return out
+    finally:
+        os.sched_setaffinity(0, full_affinity)
+    return n_pages / dt
 
 
 def _parse_chunk(args) -> int:
@@ -354,14 +348,14 @@ def main() -> None:
         int(x)
         for x in os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8").split(",")
     )
-    hw = _hw_control((lo, hi))
-    print(
-        f"# hw control (mp parse): {hw[lo]:.0f} → {hw[hi]:.0f} pages/s, "
-        f"ceiling efficiency {hw['efficiency']:.3f}",
-        file=sys.stderr,
-    )
     runs = {}
+    ctl: dict = {}
     for cores in (lo, hi):
+        # control sandwiches each crawl: pre + post, averaged — the
+        # normalizer then sees the same thermal window as the subject
+        # (a single up-front control misses drift that hits only the
+        # later crawl)
+        ctl_pre = _hw_control_one(cores)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--crawl-run", str(cores)],
             capture_output=True, text=True, cwd=REPO,
@@ -373,8 +367,29 @@ def main() -> None:
             print(proc.stderr[-4000:], file=sys.stderr)
             raise RuntimeError(f"crawl run at {cores} cores failed")
         runs[cores] = json.loads(line[-1][len("CRAWLJSON:"):])
-        print(f"# crawl local[{cores}]: {runs[cores]['wall_s']:.1f}s "
-              f"{runs[cores]['urls_per_sec']:.0f} urls/s", file=sys.stderr)
+        ctl_post = _hw_control_one(cores)
+        ctl[cores] = {
+            "pre": round(ctl_pre, 1),
+            "post": round(ctl_post, 1),
+            "mean": (ctl_pre + ctl_post) / 2.0,
+        }
+        print(
+            f"# crawl local[{cores}]: {runs[cores]['wall_s']:.1f}s "
+            f"{runs[cores]['urls_per_sec']:.0f} urls/s "
+            f"(hw control {ctl_pre:.0f}/{ctl_post:.0f} pages/s)",
+            file=sys.stderr,
+        )
+    hw = {
+        lo: ctl[lo]["mean"], hi: ctl[hi]["mean"],
+        "speedup": ctl[hi]["mean"] / ctl[lo]["mean"],
+    }
+    hw["efficiency"] = hw["speedup"] / (hi / lo)
+    print(
+        f"# hw control (mp parse, crawl-adjacent mean): "
+        f"{hw[lo]:.0f} → {hw[hi]:.0f} pages/s, "
+        f"ceiling efficiency {hw['efficiency']:.3f}",
+        file=sys.stderr,
+    )
 
     rlo, rhi = runs[lo], runs[hi]
     assert rlo["checksum"] == rhi["checksum"], (
@@ -394,6 +409,11 @@ def main() -> None:
         "efficiency": round(efficiency, 3),
         "hw_control_pages_per_sec": {
             str(lo): round(hw[lo], 1), str(hi): round(hw[hi], 1),
+        },
+        # crawl-adjacent pre/post control samples (drift visibility)
+        "hw_control_pre_post": {
+            str(lo): [ctl[lo]["pre"], ctl[lo]["post"]],
+            str(hi): [ctl[hi]["pre"], ctl[hi]["post"]],
         },
         "hw_control_efficiency": round(hw["efficiency"], 3),
         # clamped headline + unclamped ratio: values > 1.0 mean the control
