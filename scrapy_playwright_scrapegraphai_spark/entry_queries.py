@@ -1316,7 +1316,7 @@ FROM documents
 def _sql_stopword_count(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS[lang])
     return (
-        "len(list_filter(string_split(lower(text), ' '), "
+        "len(list_filter(string_split_regex(lower(text), '\\s+'), "
         f"t -> t IN ({words})))"
     )
 
@@ -1330,7 +1330,8 @@ def q_text_langid(spark, sf):
 
 SQL_TEXT_LANGID = f"""
 SELECT doc_id,
-       CASE WHEN en = 0 AND it = 0 AND de = 0 THEN 'und'
+       CASE WHEN en IS NULL THEN 'und'
+            WHEN en = 0 AND it = 0 AND de = 0 THEN 'und'
             WHEN en >= it AND en >= de THEN 'en'
             WHEN it >= de THEN 'it'
             ELSE 'de' END AS lang_guess

@@ -124,7 +124,11 @@ class _PageParser(HTMLParser):
         if tag in ("script", "style"):
             self._suppress += 1
             return
-        amap = dict(attrs)
+        # HTML5 keeps the FIRST of duplicate attributes (what Playwright's
+        # DOM sees in the reference); dict(attrs) would keep the last
+        amap: dict = {}
+        for k, v in attrs:
+            amap.setdefault(k, v)
         if tag == "div":
             classes = (amap.get("class") or "").split()
             is_modal = "modal" in classes
@@ -333,7 +337,13 @@ def classify_links(
                 for url, depth in _target_links(found_links, target_patterns, current_depth):
                     items.append(ClassifiedLink(url, True, depth, len(items)))
         return items
-    except re.error:
+    except Exception:
+        # breadth matches the reference's per-page `except Exception`
+        # (crawl_manager_utils.py:54-71): ANY classification error — an
+        # invalid regex, a null pattern element reaching re.search, … —
+        # aborts just this page with the items accumulated so far. A
+        # narrower catch would let the exception kill the whole Arrow
+        # batch (and the oracle's crawl loop) instead of one page.
         return items
 
 

@@ -42,7 +42,10 @@ def char_class_count_expr(text, char_class: str) -> Column:
 
 
 def stopword_count_expr(text, stopwords: list[str]) -> Column:
-    toks = F.split(F.lower(text), " ")
+    # whitespace-RUN tokenization (like tokens_expr): extract_text joins
+    # chunks with '\n', so a single-space split would glue words across
+    # line breaks ('Home\nthe') and never count their stopwords
+    toks = F.split(F.lower(text), r"\s+")
     arr = F.array(*[F.lit(s) for s in stopwords])
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
@@ -78,7 +81,12 @@ def lang_id_expr(text) -> Column:
     }
     en, it, de = scores["en"], scores["it"], scores["de"]
     return (
-        F.when((en == 0) & (it == 0) & (de == 0), F.lit("und"))
+        # NULL text → 'und' explicitly: without the guard, non-ANSI
+        # size(NULL) = -1 makes every score -1 and the tie-break returns
+        # 'en' while the SQL oracle's all-NULL CASE falls to its ELSE —
+        # a cross-engine divergence on exactly the rows that matter least
+        F.when(F.isnull(text), F.lit("und"))
+        .when((en == 0) & (it == 0) & (de == 0), F.lit("und"))
         .when((en >= it) & (en >= de), F.lit("en"))
         .when(it >= de, F.lit("it"))
         .otherwise(F.lit("de"))

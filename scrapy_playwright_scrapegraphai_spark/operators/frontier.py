@@ -121,9 +121,10 @@ def anti_join_seen(
     shuffle join for unbounded candidate sets.
     """
     if not broadcast_candidates:
-        return candidates.join(
-            seen.select("url").distinct(), on="url", how="left_anti"
-        )
+        # no distinct() on the seen side: a left-anti join only tests
+        # existence, so deduplicating the 10^10-row side first would be a
+        # full extra shuffle+aggregate for identical output
+        return candidates.join(seen.select("url"), on="url", how="left_anti")
     cand_urls = candidates.select("url")
     seen_urls = seen.select("url")
     if not unique_urls:

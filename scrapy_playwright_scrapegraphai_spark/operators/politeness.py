@@ -116,14 +116,17 @@ def admit_tagged(
     """
     base_cols = work.columns
     order = [F.col(c) for c in order_cols]
+    # non-positive/NULL crawl delays fall back to the default — matching
+    # kernels.host_budget (the oracle's budget) exactly; a bare coalesce
+    # would divide by zero (NULL in non-ANSI Spark) for crawl_delay_s <= 0
+    # and admit 1 URL/host where the oracle admits superstep/default
+    _delay = F.coalesce(F.col("crawl_delay_s"), F.lit(DEFAULT_CRAWL_DELAY_S))
+    _delay = F.when(_delay > 0, _delay).otherwise(F.lit(DEFAULT_CRAWL_DELAY_S))
     w = with_robots(work, robots, native=native_robots).withColumn(
         "_budget",
         F.greatest(
             F.lit(1),
-            F.floor(
-                F.lit(float(superstep_seconds))
-                / F.coalesce(F.col("crawl_delay_s"), F.lit(DEFAULT_CRAWL_DELAY_S))
-            ).cast("int"),
+            F.floor(F.lit(float(superstep_seconds)) / _delay).cast("int"),
         ),
     )
 

@@ -530,7 +530,13 @@ class CrawlEngine:
             # (url not in corpus ≙ errback_playwright) are admitted minus ok on
             # the unique discovery_seq — never a second pass over pages.
             obs_ok = Observation(f"fetch_{step}")
-            page_content = self.pages.select("url", "html")
+            # a pages row with NULL html is an unfetchable page — treated
+            # as fetch FAILURE (retry → failed), same as a missing row;
+            # the oracle's pages.get(url) is None covers both cases, and
+            # counting it as 'processed' would diverge metrics and states
+            page_content = self.pages.select("url", "html").filter(
+                F.col("html").isNotNull()
+            )
             # small-batch point-lookup path: when the pending set is small
             # (n_pending rides the previous advance Observation — no extra
             # job), push the admitted URL list into the pages scan as an

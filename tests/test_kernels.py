@@ -308,3 +308,36 @@ def test_parse_page_fused_equals_separate_kernels():
     assert text == K.extract_text(html)
     assert "var a=1;" not in text and "Hello  world" in text
     assert links.count("https://h.example.test/modal/1") == 2  # modal re-emit
+
+
+def test_classify_aborts_page_on_any_exception_like_reference():
+    """crawl_manager_utils.py:54-71 catches Exception (not just re.error):
+    a null pattern element reaching re.search must abort the page with
+    the items accumulated so far, never crash the batch."""
+    links = ["https://h.t/a.pdf", "https://h.t/b.doc"]
+    # None in target_patterns → TypeError inside the target-list pass;
+    # reference granularity: the whole target list is built before items
+    # extend, so the page yields [] — and must NOT raise
+    items = K.classify_links(
+        "https://h.t/", links, 2, [".pdf", None], "/b", 0, 1
+    )
+    assert items == []
+    # seed-side failure: the reference computes seed_items BEFORE
+    # extending items with the (complete) target list, so this page also
+    # yields [] — and again must not raise
+    items2 = K.classify_links(
+        "https://h.t/", links, 2, [".pdf"], 123, 0, 1  # non-str seed_pattern
+    )
+    assert items2 == []
+
+
+def test_extract_links_duplicate_attribute_first_wins():
+    """HTML5 (and Playwright's DOM in the reference) keeps the FIRST of
+    duplicate attributes."""
+    html = b'<html><body><a href="/real" href="/decoy">x</a></body></html>'
+    assert K.extract_links(html, "https://h.t/") == ["https://h.t/real"]
+    # duplicate class on a modal div: first wins for modal detection
+    html2 = (b'<html><body><div class="modal" class="plain">'
+             b'<a href="/m">m</a></div></body></html>')
+    links = K.extract_links(html2, "https://h.t/")
+    assert links == ["https://h.t/m", "https://h.t/m"]  # modal double-emission

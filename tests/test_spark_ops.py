@@ -431,3 +431,74 @@ def test_priority_queue_order_cols(spark):
     bfs_set, _ = run(("depth", "discovery_seq"))
     assert fifo_set == bfs_set
     assert len(fifo_set) > 10
+
+
+def test_budget_nonpositive_crawl_delay_matches_oracle(spark):
+    """crawl_delay_s <= 0 or NULL must fall back to the default delay in
+    BOTH the engine expression and kernels.host_budget (the oracle)."""
+    from scrapy_playwright_scrapegraphai_spark.operators.politeness import (
+        admit_tagged,
+    )
+
+    work = spark.createDataFrame(
+        [(f"https://h{i}.t/p{j}", f"h{i}.t", i * 100 + j)
+         for i in range(4) for j in range(10)],
+        "url string, main_domain string, discovery_seq long",
+    )
+    robots = _robots_df(spark, [
+        ("h0.t", [], [], 0.0),     # zero delay
+        ("h1.t", [], [], -1.0),    # negative delay
+        ("h2.t", [], [], None),    # null delay
+        # h3.t: no rules row at all
+    ])
+    tagged = admit_tagged(work, robots, 10.0, 1, native_robots=True)
+    admitted = tagged.filter(F.col("_disposition") == "admitted")
+    got = {r["main_domain"]: 0 for r in admitted.collect()}
+    for r in admitted.collect():
+        got[r["main_domain"]] = got.get(r["main_domain"], 0) + 1
+    want = K.host_budget(None, 10.0)  # default delay 2.0 → budget 5
+    assert got == {f"h{i}.t": want for i in range(4)}
+
+
+def test_lang_id_null_text_is_und(spark):
+    from scrapy_playwright_scrapegraphai_spark.functions.text import lang_id_expr
+
+    df = spark.createDataFrame(
+        [(0, None), (1, "the of and"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["g"]
+           for r in df.select("doc_id", lang_id_expr(F.col("text")).alias("g")).collect()}
+    assert got == {0: "und", 1: "en", 2: "und"}
+
+
+def test_null_html_page_is_fetch_failure(spark, tmp_path):
+    """A pages row with NULL html must behave like a missing page:
+    retry then 'failed', exactly as the oracle treats it."""
+    import tempfile
+
+    from scrapy_playwright_scrapegraphai_spark.plans.driver import (
+        CrawlConfig,
+        CrawlEngine,
+    )
+    from scrapy_playwright_scrapegraphai_spark.sources.synth import (
+        PAGES_DDL,
+        ROBOTS_DDL,
+        SEEDS_DDL,
+    )
+    import datetime as dt
+
+    pages = spark.createDataFrame(
+        [("https://h0.t/page/0", dt.datetime(2024, 1, 1), None, None, "en")],
+        PAGES_DDL,
+    )
+    seeds = spark.createDataFrame(
+        [(0, "c", "https://h0.t/page/0", 2, [".pdf"], "/page/", 1)], SEEDS_DDL
+    )
+    robots = spark.createDataFrame([], ROBOTS_DDL)
+    r = CrawlEngine(
+        spark, pages, seeds, robots, tempfile.mkdtemp(),
+        CrawlConfig(superstep_seconds=10.0),
+    ).run()
+    row = r.frontier.collect()[0]
+    assert row["url_state"] == "failed" and row["attempt"] == 2
