@@ -792,11 +792,11 @@ LIMIT 10
 # ===========================================================================
 
 def q_dedup_exact(spark, sf):
-    """Exact dedup: hash-groupBy, first-writer canonical id."""
+    """Exact dedup: 8-byte-hash groupBy (text never crosses the shuffle),
+    md5-confirmed within bucket, first-writer canonical id
+    (operators/dedup.py:exact_dedup_groups)."""
     d = _t(spark, sf, "documents")
-    return D.exact_dedup_groups(d).select(
-        F.md5(F.col("text")).alias("fp"), "canonical_id", "n_copies"
-    )
+    return D.exact_dedup_groups(d).select("fp", "canonical_id", "n_copies")
 
 
 SQL_DEDUP_EXACT = """
@@ -814,7 +814,7 @@ def q_dedup_ngram_jaccard(spark, sf):
     )
 
 
-SQL_DEDUP_NGRAM_JACCARD = """
+SQL_DEDUP_NGRAM_JACCARD = r"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents
 ), shingled AS (
@@ -852,7 +852,7 @@ def q_dedup_ngram_jaccard_capped(spark, sf):
     ).select("doc_a", "doc_b", "shared", "n_a", "n_b")
 
 
-SQL_DEDUP_NGRAM_JACCARD_CAPPED = """
+SQL_DEDUP_NGRAM_JACCARD_CAPPED = r"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents
 ), shingled AS (
@@ -896,7 +896,7 @@ def q_dedup_minhash_lsh(spark, sf):
 # md5_number_lower(s) == bytes 8:16 (= b); sig_i = min (a + i*b) mod M over
 # the doc's distinct 3-gram shingles; band key = 4 consecutive sig values
 # joined with '-'; candidates = distinct same-band collisions.
-SQL_DEDUP_MINHASH_LSH = """
+SQL_DEDUP_MINHASH_LSH = r"""
 WITH toks AS (
   SELECT doc_id AS doc, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents WHERE text IS NOT NULL
 ), sh AS (
@@ -921,8 +921,10 @@ WITH toks AS (
   FROM toks, unnest(generate_series(0, 63)) AS i(i)
   WHERE len(t) = 0
 ), bands AS (
+  -- md5 of the joined band slice == the engine's default bounded band
+  -- key (operators/dedup.py minhash_lsh_candidates band_key="md5")
   SELECT doc, CAST(i // 4 AS INT) AS band_idx,
-         string_agg(sig_i::VARCHAR, '-' ORDER BY i) AS band_hash
+         md5(string_agg(sig_i::VARCHAR, '-' ORDER BY i)) AS band_hash
   FROM sig GROUP BY doc, i // 4
 )
 SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
@@ -943,7 +945,7 @@ def q_dedup_simhash(spark, sf):
     )
 
 
-SQL_DEDUP_SIMHASH = """
+SQL_DEDUP_SIMHASH = r"""
 WITH toks AS (
   SELECT doc_id AS doc, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents WHERE text IS NOT NULL
 ), sh AS (
@@ -1245,7 +1247,9 @@ def q_text_winnowing(spark, sf):
     every fingerprint (functions/text.py winnowing_exprs)."""
     d = _t(spark, sf, "documents")
     wx = T.winnowing_exprs(F.col("text"), k=3, w=4)
-    return d.select(
+    # mirrored NOT NULL filter (oracle has the same WHERE): NULL docs carry
+    # no fingerprints on either engine — minhash/simhash precedent
+    return d.filter(F.col("text").isNotNull()).select(
         "doc_id",
         wx["n_kgrams"].alias("n_kgrams"),
         wx["n_fingerprints"].alias("n_fingerprints"),
@@ -1257,6 +1261,7 @@ def q_text_winnowing(spark, sf):
 SQL_TEXT_WINNOWING = r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+  WHERE text IS NOT NULL
 ), kg AS (
   SELECT doc_id, i.i AS i,
          CASE WHEN len(t) >= 3 THEN array_to_string(t[i.i : i.i + 2], ' ')

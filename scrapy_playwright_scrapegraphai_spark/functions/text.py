@@ -157,11 +157,19 @@ def winnowing_exprs(text, k: int = 3, w: int = 4) -> dict[str, Column]:
         lambda j: F.array_min(F.slice(hs, j + 1, w)),
     )
     fps = F.array_distinct(windows)
+    # NULL text carries no fingerprints (0/0/NULL/NULL) — without the
+    # guard the kgram CASE falls to the single-empty-shingle branch and
+    # emits n_fingerprints=1 with fp=md5_le64(''), diverging from any
+    # relational recomputation (which drops NULL docs at the tokenizer);
+    # same guard class lang_id_expr already has.
+    null_text = F.isnull(text)
     return {
-        "n_kgrams": n.cast("long"),
-        "n_fingerprints": F.size(fps).cast("long"),
-        "fp_min": F.array_min(fps),
-        "fp_max": F.array_max(fps),
+        "n_kgrams": F.when(null_text, F.lit(0)).otherwise(n).cast("long"),
+        "n_fingerprints": F.when(null_text, F.lit(0))
+        .otherwise(F.size(fps))
+        .cast("long"),
+        "fp_min": F.when(~null_text, F.array_min(fps)),
+        "fp_max": F.when(~null_text, F.array_max(fps)),
     }
 
 

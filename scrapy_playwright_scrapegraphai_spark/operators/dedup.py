@@ -67,14 +67,49 @@ def _shingles(text: str, n: int) -> set[bytes]:
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
-    """One row per distinct text: canonical id (min id = first writer) +
-    copy count. Single hash-aggregate; at scale group on xxhash64(text)
-    first so the shuffle key is 8 bytes, then confirm within group."""
-    return df.groupBy(text_col).agg(
+                       id_col: str = "doc_id", hash_expr=None) -> DataFrame:
+    """One row per distinct text → (fp: md5 hex, canonical_id, n_copies).
+
+    Scale shape (the 100 TB path): the aggregate groups on
+    ``xxhash64(text)`` — an 8-byte shuffle key with map-side partial
+    combine — and the aggregation state it ships is (min id, count,
+    min/max md5). The document text itself never crosses the exchange.
+    A 64-bit bucket collision between DISTINCT texts is detected inside
+    the bucket by ``min(md5) != max(md5)`` and resolved exactly by
+    re-grouping just the colliding buckets on the full text (a few rows
+    at any corpus size, broadcast back against the source). The one
+    unconfirmed case is two distinct texts agreeing on BOTH xxhash64 and
+    md5 (a joint 192-bit collision) — beyond birthday reach for any
+    physical corpus.
+
+    ``hash_expr`` overrides the bucket hash; tests pass a degenerate
+    hash (e.g. ``F.lit(0)``) to force all texts into one bucket and
+    exercise the confirm path.
+    """
+    h_expr = hash_expr if hash_expr is not None else F.xxhash64(F.col(text_col))
+    fp = F.md5(F.col(text_col))
+    agg = df.groupBy(h_expr.alias("_h")).agg(
         F.min(id_col).alias("canonical_id"),
         F.count("*").alias("n_copies"),
+        F.min(fp).alias("_fp_min"),
+        F.max(fp).alias("_fp_max"),
     )
+    clean = agg.filter(F.col("_fp_min") == F.col("_fp_max")).select(
+        F.col("_fp_min").alias("fp"), "canonical_id", "n_copies"
+    )
+    collided = agg.filter(F.col("_fp_min") != F.col("_fp_max")).select("_h")
+    resolved = (
+        df.join(F.broadcast(collided), h_expr == F.col("_h"))
+        .groupBy(text_col)
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select(
+            F.md5(F.col(text_col)).alias("fp"), "canonical_id", "n_copies"
+        )
+    )
+    return clean.unionByName(resolved)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -142,6 +177,13 @@ def make_minhash_udf(num_hashes: int = 64, shingle_n: int = 3):
     @pandas_udf(ArrayType(LongType()))
     def minhash_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         M = np.uint64(_MERSENNE)
+        # Shingle → (a, b) cache, kept across Arrow batches. Web corpora
+        # share shingles massively (boilerplate, stopword runs), so this
+        # turns the dominant cost — one md5 per shingle PER DOCUMENT —
+        # into one md5 per distinct shingle per worker. Size-capped so a
+        # pathological corpus can't grow it without bound.
+        cache: dict[bytes, tuple[int, int]] = {}
+        cache_cap = 1 << 20
         for texts in it:
             out = []
             for t in texts:
@@ -152,9 +194,14 @@ def make_minhash_udf(num_hashes: int = 64, shingle_n: int = 3):
                 if not shingles:
                     out.append([_MERSENNE] * num_hashes)
                     continue
-                ab = np.array(
-                    [_hash_pair(sh) for sh in shingles], dtype=np.uint64
-                )
+                ab = np.empty((len(shingles), 2), dtype=np.uint64)
+                for row, sh in enumerate(shingles):
+                    v2 = cache.get(sh)
+                    if v2 is None:
+                        v2 = _hash_pair(sh)
+                        if len(cache) < cache_cap:
+                            cache[sh] = v2
+                    ab[row] = v2
                 # sig[i] = min_sh (a + i*b) mod M, computed iteratively so no
                 # intermediate exceeds 2^62 (a, b < 2^61): v_{i+1} = (v_i+b)%M
                 v, b = ab[:, 0].copy(), ab[:, 1]
@@ -175,6 +222,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    band_key: str = "md5",
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) via banded LSH.
 
@@ -182,8 +230,19 @@ def minhash_lsh_candidates(
     signatures is identical — P(collide) ≈ 1-(1-j^r)^b for Jaccard j.
     The pair space never materializes: docs meet only inside
     (band_idx, band_hash) buckets.
+
+    ``band_key`` bounds the shuffle-key width of the band bucket join:
+    - ``"md5"`` (default): md5 hex of the joined band slice — 32 chars
+      regardless of band width, and still portable (the SQL oracle
+      applies the identical md5, so the check stays a full value check).
+    - ``"xxhash64"``: 8-byte long key — the leanest cluster-scale
+      shuffle; Spark-only (no oracle mirror), pair set identical up to a
+      ~2^-64 bucket-collision probability (engine-equality tested).
+    - ``"plain"``: the raw joined string (unbounded width — debugging /
+      legacy oracle form only).
     """
     assert num_hashes % bands == 0
+    assert band_key in ("md5", "xxhash64", "plain")
     r = num_hashes // bands
     df = df.filter(F.col(text_col).isNotNull())  # null docs carry no signature
     sig = df.select(
@@ -191,10 +250,17 @@ def minhash_lsh_candidates(
             F.col(text_col)
         ).alias("sig"),
     )
-    # band key = the band's signature values joined as a string — portable
-    # (the SQL oracle rebuilds the identical key; xxhash64 of the slice
-    # would be Spark-only). At cluster scale wrap it in md5() to bound the
-    # shuffle key width; collision semantics are unchanged.
+
+    def _key(slice_col):
+        joined = F.concat_ws(
+            "-", F.transform(slice_col, lambda v: v.cast("string"))
+        )
+        if band_key == "md5":
+            return F.md5(joined)
+        if band_key == "xxhash64":
+            return F.xxhash64(joined)
+        return joined
+
     banded = sig.select(
         "doc",
         F.explode(
@@ -202,13 +268,9 @@ def minhash_lsh_candidates(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band_idx"),
-                    F.concat_ws(
-                        "-",
-                        F.transform(
-                            F.slice("sig", b * F.lit(r) + 1, r),
-                            lambda v: v.cast("string"),
-                        ),
-                    ).alias("band_hash"),
+                    _key(F.slice("sig", b * F.lit(r) + 1, r)).alias(
+                        "band_hash"
+                    ),
                 ),
             )
         ).alias("bb"),
@@ -231,6 +293,11 @@ def make_simhash_udf(shingle_n: int = 1):
     @pandas_udf(LongType())
     def simhash_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         shifts = np.arange(64, dtype=np.uint64)
+        # token-hash cache across Arrow batches (same rationale as the
+        # minhash cache: tokens repeat across documents → one md5 per
+        # distinct token per worker instead of per occurrence)
+        cache: dict[bytes, int] = {}
+        cache_cap = 1 << 20
         for texts in it:
             out = []
             for t in texts:
@@ -240,13 +307,17 @@ def make_simhash_udf(shingle_n: int = 1):
                 shingles = _shingles(t, shingle_n)
                 # md5[:8] little-endian == DuckDB md5_number_upper — the
                 # oracle SQL recomputes the identical signature
-                hs = np.array(
-                    [
-                        int.from_bytes(hashlib.md5(sh).digest()[:8], "little")
-                        for sh in shingles
-                    ],
-                    dtype=np.uint64,
-                )
+                hvals = []
+                for sh in shingles:
+                    v2 = cache.get(sh)
+                    if v2 is None:
+                        v2 = int.from_bytes(
+                            hashlib.md5(sh).digest()[:8], "little"
+                        )
+                        if len(cache) < cache_cap:
+                            cache[sh] = v2
+                    hvals.append(v2)
+                hs = np.array(hvals, dtype=np.uint64)
                 # counts[bit] = ones - zeros > 0  ⟺  2*ones > n_shingles
                 ones = ((hs[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
                 v = int(

@@ -418,15 +418,16 @@ class CrawlEngine:
         else:
             step = latest
             manifest = self.store.read_manifest(step)
-            from .store import SNAPSHOT_FORMAT
+            from .store import COMPATIBLE_SNAPSHOT_FORMATS
 
             got = manifest.get("format", 1)
-            if got != SNAPSHOT_FORMAT:
+            if got not in COMPATIBLE_SNAPSHOT_FORMATS:
                 raise ValueError(
                     f"checkpoint at {self.store.root} uses snapshot format "
-                    f"{got}, this engine reads format {SNAPSHOT_FORMAT}; "
-                    "delete the checkpoint dir (or rerun with the matching "
-                    "engine version) to proceed"
+                    f"{got}, this engine reads formats "
+                    f"{sorted(COMPATIBLE_SNAPSHOT_FORMATS)}; delete the "
+                    "checkpoint dir (or rerun with the matching engine "
+                    "version) to proceed"
                 )
             frontier, metrics_rows, lineage_paths, text_paths = self._rebuild(step)
             next_seq = manifest["meta"]["next_seq"]

@@ -29,6 +29,13 @@ from pyspark.sql import DataFrame, SparkSession
 # KeyError deep in the rebuild fold.
 SNAPSHOT_FORMAT = 2
 
+# Older formats this engine can still RESUME from. Format 1 manifests
+# (written before the "format" key existed — read_manifest defaults the
+# missing key to 1) use the identical step/table layout; only the manifest
+# gained a key, so invalidating a resumable crawl over it would force a
+# pointless recrawl.
+COMPATIBLE_SNAPSHOT_FORMATS = {1, SNAPSHOT_FORMAT}
+
 
 class SnapshotStore:
     def __init__(self, root: str):

@@ -43,6 +43,35 @@ def test_exact_dedup(docs):
     assert kept.filter((F.col("doc_id") >= 100000) & (F.col("source") == "dup")).count() == 0
 
 
+def test_exact_dedup_hash_collision_confirm(spark):
+    """Two distinct texts forced into ONE bucket by a degenerate hash:
+    the md5 confirm-within-bucket path must split them exactly (the
+    guard that makes the 8-byte-shuffle-key plan still exact)."""
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma delta"),
+         (4, "gamma delta"), (5, "unique")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["fp"], r["canonical_id"], r["n_copies"])
+        for r in D.exact_dedup_groups(df, hash_expr=F.lit(0)).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert got == {
+        (md5("alpha beta"), 1, 2),
+        (md5("gamma delta"), 3, 2),
+        (md5("unique"), 5, 1),
+    }
+    # and the default-hash path produces the identical group set
+    got_default = {
+        (r["fp"], r["canonical_id"], r["n_copies"])
+        for r in D.exact_dedup_groups(df).collect()
+    }
+    assert got_default == got
+
+
 def _brute_jaccard_pairs(rows, n, thr):
     def sh(t):
         toks = t.split()
@@ -95,6 +124,22 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert len(near) > 0
     recall = len(cands & near) / len(near)
     assert recall >= 0.8, f"LSH recall {recall} too low; cands={len(cands)}"
+
+
+def test_minhash_band_key_forms_equivalent(docs):
+    """The 8-byte xxhash64 band key (leanest cluster shuffle) and the
+    default md5 key must produce the identical candidate pair set — the
+    key only renames buckets."""
+    md5_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_candidates(docs, band_key="md5").collect()
+    }
+    xx_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_candidates(docs, band_key="xxhash64").collect()
+    }
+    assert md5_pairs == xx_pairs
+    assert len(md5_pairs) > 0
 
 
 def test_simhash_near_dups(docs):

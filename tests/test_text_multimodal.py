@@ -41,6 +41,27 @@ def test_lang_id(spark):
     assert got == {1: "en", 2: "it", 3: "de", 4: "und"}
 
 
+def test_winnowing_null_text(spark):
+    """NULL text → no fingerprints (0/0/NULL/NULL), matching what any
+    relational recomputation yields — not the single-empty-kgram row the
+    unguarded exprs used to emit."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c d e f g")], "doc_id long, text string"
+    )
+    wx = T.winnowing_exprs(F.col("text"), k=3, w=4)
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *[v.alias(k) for k, v in wx.items()]
+        ).collect()
+    }
+    assert rows[1]["n_kgrams"] == 0
+    assert rows[1]["n_fingerprints"] == 0
+    assert rows[1]["fp_min"] is None and rows[1]["fp_max"] is None
+    assert rows[2]["n_kgrams"] == 5 and rows[2]["n_fingerprints"] >= 1
+    assert rows[2]["fp_min"] is not None
+
+
 def test_fingerprints(spark):
     df = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
     rows = df.select(
