@@ -1378,20 +1378,107 @@ SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
 
 
 def q_knn_ivf(spark, sf):
-    """IVF approximate top-5 (second ANN scale path beside LSH: probe
-    nprobe nearest coarse cells only; operators/similarity.py:knn_ivf).
-    The whole path is integer-exact and deterministic (seed codebook =
-    lowest-16 ids, argmin squared-L2 in int64), so the oracle recomputes
-    cells, probes and ranks identically — full value check. Recall vs
-    exact knn additionally verified in pytest."""
+    """IVF approximate top-5, K-MEANS-REFINED codebook (the production
+    default; operators/similarity.py:knn_ivf, kmeans_refine_cells). The
+    whole path is integer-exact and deterministic — seed codebook =
+    lowest-16 ids, ONE Lloyd iteration with floor-of-mean int64
+    centroids (floor(S/m): single IEEE division of exact ints —
+    bit-identical in every engine), argmin squared-L2 in int64 — so the
+    oracle recomputes the refined codebook, cells, probes and ranks
+    identically: full value check. Recall vs exact knn + partitioning
+    invariance additionally verified in pytest."""
     e = _t(spark, sf, "embeddings")
     queries = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return S.knn_ivf(e, queries, k=5, num_cells=16, nprobe=4)
+    return S.knn_ivf(e, queries, k=5, num_cells=16, nprobe=4, refine_iters=1)
 
 
 SQL_KNN_IVF = """
+WITH v AS (
+  SELECT vec_id AS vid,
+         list_transform(embedding, x -> CAST(floor(x * 1000.0) AS BIGINT)) AS qv
+  FROM embeddings
+), n AS (
+  SELECT vid, qv, CAST(list_dot_product(qv, qv) AS BIGINT) AS nn FROM v
+), cent0 AS (
+  SELECT vid AS cell, qv AS cv, nn AS cn FROM n ORDER BY vid LIMIT 16
+), a0 AS (
+  -- Lloyd iteration 1: assign to the seed codebook...
+  SELECT vid, cell, qv FROM (
+    SELECT n.vid, c.cell, n.qv,
+           row_number() OVER (
+             PARTITION BY n.vid
+             ORDER BY (n.nn - 2 * CAST(list_dot_product(n.qv, c.cv) AS BIGINT)
+                       + c.cn) ASC, c.cell ASC) AS r
+    FROM n CROSS JOIN cent0 c
+  ) WHERE r = 1
+), sums AS (
+  -- ...exact integer member sums per dimension...
+  SELECT cell, i.i AS i, SUM(qv[i.i]) AS s
+  FROM a0, unnest(generate_series(1, len(qv))) AS i(i)
+  GROUP BY cell, i.i
+), cnts AS (
+  SELECT cell, count(*) AS m FROM a0 GROUP BY cell
+), newc AS (
+  -- ...centroid = element-wise floor of the member mean (exact ints
+  -- through one IEEE division — matches Spark bit-for-bit)...
+  SELECT s.cell,
+         list(CAST(floor(s.s / c.m) AS BIGINT) ORDER BY s.i) AS cv
+  FROM sums s JOIN cnts c ON s.cell = c.cell
+  GROUP BY s.cell
+), cent AS (
+  -- ...empty cells keep their previous centroid
+  SELECT c0.cell,
+         COALESCE(nc.cv, c0.cv) AS cv,
+         CAST(list_dot_product(COALESCE(nc.cv, c0.cv),
+                               COALESCE(nc.cv, c0.cv)) AS BIGINT) AS cn
+  FROM cent0 c0 LEFT JOIN newc nc ON c0.cell = nc.cell
+), assign AS (
+  SELECT vid, cell, qv FROM (
+    SELECT n.vid, c.cell, n.qv,
+           row_number() OVER (
+             PARTITION BY n.vid
+             ORDER BY (n.nn - 2 * CAST(list_dot_product(n.qv, c.cv) AS BIGINT)
+                       + c.cn) ASC, c.cell ASC) AS r
+    FROM n CROSS JOIN cent c
+  ) WHERE r = 1
+), q AS (
+  SELECT vid AS query_id, qv, nn AS qn FROM n WHERE vid < 10
+), probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY (q.qn - 2 * CAST(list_dot_product(q.qv, c.cv) AS BIGINT)
+                       + c.cn) ASC, c.cell ASC) AS r
+    FROM q CROSS JOIN cent c
+  ) WHERE r <= 4
+), scored AS (
+  SELECT p.query_id, a.vid AS neighbor_id,
+         CAST(list_dot_product(p.qv, a.qv) AS BIGINT) AS dot
+  FROM probes p JOIN assign a ON p.cell = a.cell
+)
+SELECT query_id, neighbor_id, dot, rank FROM (
+  SELECT query_id, neighbor_id, dot,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_knn_ivf_seed(spark, sf):
+    """IVF with the UNREFINED seed codebook (lowest-16 ids) — the named
+    baseline the k-means-refined default is measured against."""
+    e = _t(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.knn_ivf(e, queries, k=5, num_cells=16, nprobe=4, refine_iters=0)
+
+
+SQL_KNN_IVF_SEED = """
 WITH v AS (
   SELECT vec_id AS vid,
          list_transform(embedding, x -> CAST(floor(x * 1000.0) AS BIGINT)) AS qv
@@ -1547,6 +1634,7 @@ QUERIES = {
     "embedding_dup_pairs_gated": q_embedding_dup_pairs_gated,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
+    "knn_ivf_seed": q_knn_ivf_seed,
     "text_tokens": q_text_tokens,
     "text_tokens_bpe": q_text_tokens_bpe,
     "text_winnowing": q_text_winnowing,
@@ -1597,6 +1685,7 @@ ORACLE_SQL = {
     "embedding_dup_pairs_gated": _sql_embedding_dup_pairs_gated(),
     "knn_lsh": _sql_knn_lsh(),
     "knn_ivf": SQL_KNN_IVF,
+    "knn_ivf_seed": SQL_KNN_IVF_SEED,
     "text_tokens": SQL_TEXT_TOKENS,
     "text_tokens_bpe": SQL_TEXT_TOKENS_BPE,
     "text_winnowing": SQL_TEXT_WINNOWING,

@@ -397,14 +397,6 @@ def ivf_cells(
     return cent, assign
 
 
-def fdot_expr(a, b) -> Column:
-    """Float dot product (array<double>) — deterministic: per-row
-    left-to-right aggregate, no cross-row float accumulation."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-
-
 def kmeans_refine_cells(
     embeddings: DataFrame,
     num_cells: int = 16,
@@ -413,46 +405,47 @@ def kmeans_refine_cells(
     vec_col: str = "embedding",
     scale: int = 1000,
 ) -> DataFrame:
-    """Lloyd's k-means refinement of the IVF coarse codebook,
-    deterministic and partitioning-invariant by construction.
+    """Lloyd's k-means refinement of the IVF coarse codebook — INTEGER
+    centroids, deterministic, partitioning-invariant, and portable (an
+    independent SQL engine recomputes the identical codebook).
 
     Start = the seed codebook (lowest-``num_cells`` ids, ``ivf_cells``).
-    Each iteration assigns every vector to its nearest centroid and
-    recomputes centroids as member means. Determinism discipline:
-    - the only cross-row aggregations are INTEGER sums/counts of the
-      quantized vectors (order-independent — no float accumulation
-      across rows, so physical partitioning cannot change results);
-    - per-row float math (centroid mean, distances) is a fixed
-      expression tree → bit-identical on every executor;
-    - argmin ties break on lowest cell id;
+    Each iteration assigns every vector to its nearest centroid (argmin
+    int64 squared-L2, ties → lowest cell id) and recomputes centroids as
+    the element-wise FLOOR of the member mean: ``floor(S/m)`` where S is
+    the exact int64 member sum and m the member count. S and m are each
+    exactly representable as doubles (< 2^53), and a single IEEE
+    division + floor is bit-identical in every engine — so unlike a
+    float-mean codebook, the refined cells are fully oracle-checkable.
+    Determinism discipline:
+    - cross-row aggregation is integer sum/count only (order-independent
+      → physical partitioning cannot change results);
     - cells that lose all members keep their previous centroid.
-    Returns (cell, cf: array<double> centroid, cn: double |cf|²). Each
-    iteration is one broadcast-assign + one posexplode/sum shuffle —
-    at 10^9 vectors that is the standard scalable Lloyd step.
+    Returns (cell, cv: array<long>, cn: long |cv|²) — the same codebook
+    shape ``ivf_cells`` emits, so the probe path is identical. Each
+    iteration is one broadcast-assign + one posexplode/sum shuffle — the
+    standard scalable Lloyd step at 10^9 vectors.
     """
     v = embeddings.select(
         F.col(id_col).alias("vid"),
         quantize_expr(F.col(vec_col), scale).alias("qv"),
     ).withColumn("n", sq_norm_expr(F.col("qv")))
-    # seed centroids: the integer seed codebook as floats
     cent = (
         v.orderBy("vid").limit(num_cells)
         .select(
             F.col("vid").alias("cell"),
-            F.transform(F.col("qv"), lambda x: x.cast("double")).alias("cf"),
+            F.col("qv").alias("cv"),
+            F.col("n").alias("cn"),
         )
-        .withColumn("cn", fdot_expr(F.col("cf"), F.col("cf")))
     )
     for _ in range(max(0, iters)):
         d2 = (
-            F.col("n").cast("double")
-            - F.lit(2.0) * fdot_expr(
-                F.transform(F.col("qv"), lambda x: x.cast("double")),
-                F.col("cf"),
-            )
+            F.col("n") - F.lit(2) * int_dot_expr(F.col("qv"), F.col("cv"))
             + F.col("cn")
         )
-        w = Window.partitionBy("vid").orderBy(F.col("_d2").asc(), F.col("cell").asc())
+        w = Window.partitionBy("vid").orderBy(
+            F.col("_d2").asc(), F.col("cell").asc()
+        )
         assign = (
             v.crossJoin(F.broadcast(cent))
             .withColumn("_d2", d2)
@@ -473,24 +466,27 @@ def kmeans_refine_cells(
             )
         )
         counts = assign.groupBy("cell").agg(F.count("*").alias("m"))
-        new_cf = (
+        new_cv = (
             sums.join(counts, "cell")
             .select(
                 "cell",
+                # floor of the member mean, back to int64: one IEEE
+                # division of exact ints — portable bit-for-bit
                 F.transform(
-                    F.col("S"), lambda s: s.cast("double") / F.col("m")
-                ).alias("cf"),
+                    F.col("S"),
+                    lambda s: F.floor(s / F.col("m")).cast("long"),
+                ).alias("cv"),
             )
-            .withColumn("cn", fdot_expr(F.col("cf"), F.col("cf")))
+            .withColumn("cn", sq_norm_expr(F.col("cv")))
         )
         # empty cells keep their previous centroid
         cent = (
-            cent.select("cell", F.col("cf").alias("_old_cf"),
+            cent.select("cell", F.col("cv").alias("_old_cv"),
                         F.col("cn").alias("_old_cn"))
-            .join(new_cf, "cell", "left")
+            .join(new_cv, "cell", "left")
             .select(
                 "cell",
-                F.coalesce("cf", "_old_cf").alias("cf"),
+                F.coalesce("cv", "_old_cv").alias("cv"),
                 F.coalesce("cn", "_old_cn").alias("cn"),
             )
         )
@@ -507,7 +503,7 @@ def knn_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
-    refine_iters: int = 0,
+    refine_iters: int = 1,
 ) -> DataFrame:
     """Approximate top-k via IVF: probe the ``nprobe`` nearest cells only.
 
@@ -518,65 +514,38 @@ def knn_ivf(
     (query_id, neighbor_id, dot, rank); recall measured in tests. At
     100 TB the assignments live as a cell-partitioned table so a probe
     reads only its cells' files (partition pruning).
+
+    ``refine_iters`` Lloyd iterations refine the codebook (DEFAULT: 1 —
+    the k-means-refined codebook is the production shape;
+    ``refine_iters=0`` is the named seed-codebook baseline). Either way
+    the whole path — codebook, assignment, probe selection, scoring —
+    is int64-exact and deterministic, so the oracle recomputes it
+    bit-for-bit.
     """
     if refine_iters > 0:
-        # k-means-refined float codebook: assignment + probe selection go
-        # through deterministic float distances; final scoring stays
-        # integer (same output schema/semantics as the seed path)
-        centf = kmeans_refine_cells(
+        cent = kmeans_refine_cells(
             embeddings, num_cells, refine_iters, id_col, vec_col, scale
         )
         v = embeddings.select(
             F.col(id_col).alias("vid"),
             quantize_expr(F.col(vec_col), scale).alias("qv"),
         ).withColumn("n", sq_norm_expr(F.col("qv")))
-        d2f = (
-            F.col("n").cast("double")
-            - F.lit(2.0) * fdot_expr(
-                F.transform(F.col("qv"), lambda x: x.cast("double")),
-                F.col("cf"),
-            )
+        d2 = (
+            F.col("n") - F.lit(2) * int_dot_expr(F.col("qv"), F.col("cv"))
             + F.col("cn")
         )
         wv = Window.partitionBy("vid").orderBy(
             F.col("_d2").asc(), F.col("cell").asc()
         )
         assign = (
-            v.crossJoin(F.broadcast(centf))
-            .withColumn("_d2", d2f)
+            v.crossJoin(F.broadcast(cent))
+            .withColumn("_d2", d2)
             .withColumn("_r", F.row_number().over(wv))
             .filter(F.col("_r") == 1)
             .select("vid", "cell", "qv")
         )
-        q = queries.select(
-            "query_id", quantize_expr(F.col(vec_col), scale).alias("qv")
-        ).withColumn("n", sq_norm_expr(F.col("qv")))
-        qd = F.broadcast(q).crossJoin(F.broadcast(centf)).select(
-            "query_id", "qv", "cell", d2f.alias("d2")
-        )
-        wq = Window.partitionBy("query_id").orderBy(
-            F.col("d2").asc(), F.col("cell").asc()
-        )
-        probes = (
-            qd.withColumn("_r", F.row_number().over(wq))
-            .filter(F.col("_r") <= nprobe)
-            .select("query_id", F.col("qv").alias("pqv"), "cell")
-        )
-        scored = F.broadcast(probes).join(assign, "cell").select(
-            "query_id",
-            F.col("vid").alias("neighbor_id"),
-            int_dot_expr(F.col("pqv"), F.col("qv")).alias("dot"),
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("dot").desc(), F.col("neighbor_id").asc()
-        )
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "dot", "rank")
-        )
-
-    cent, assign = ivf_cells(embeddings, num_cells, id_col, vec_col, scale)
+    else:
+        cent, assign = ivf_cells(embeddings, num_cells, id_col, vec_col, scale)
     q = queries.select(
         "query_id", quantize_expr(F.col(vec_col), scale).alias("qv")
     ).withColumn("qn", sq_norm_expr(F.col("qv")))

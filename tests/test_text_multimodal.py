@@ -95,6 +95,77 @@ def test_multimodal_feature_plumbing(spark):
     assert feats[3]["n_bytes"] == 0 and sum(feats[3]["features"]) == 0.0
 
 
+def _encode_bmp(img) -> bytes:
+    """Minimal bottom-up 24-bit BMP encoder (test fixture only)."""
+    import struct
+
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    pixel_bytes = bytearray()
+    for row in range(h - 1, -1, -1):
+        line = img[row][:, ::-1].tobytes()  # RGB → BGR
+        pixel_bytes += line + b"\x00" * (stride - len(line))
+    data_offset = 14 + 40
+    size = data_offset + len(pixel_bytes)
+    return (
+        b"BM" + struct.pack("<IHHI", size, 0, 0, data_offset)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                      len(pixel_bytes), 2835, 2835, 0, 0)
+        + bytes(pixel_bytes)
+    )
+
+
+def _encode_wav(rate, samples) -> bytes:
+    """Minimal 16-bit mono PCM WAV encoder (test fixture only)."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_multimodal_real_bmp_wav_decode(spark):
+    """The decode slot decodes codec-free formats FOR REAL: a generated
+    BMP and WAV round-trip through extract_features(use_stub_decoder=True)
+    inside mapInPandas and yield features derived from the decoded
+    pixels/samples (not the raw bytes)."""
+    import numpy as np
+
+    img = np.zeros((4, 5, 3), dtype=np.uint8)
+    img[:, :, 0] = 200  # solid-ish red with a gradient row
+    img[0, :, 1] = np.arange(5) * 50
+    bmp = _encode_bmp(img)
+    samples = (np.sin(np.arange(800) / 10.0) * 1000).astype(np.int16)
+    wav = _encode_wav(8000, samples)
+
+    # pure-Python halves round-trip exactly
+    dec_img = M.decode_bmp(bmp)
+    assert np.array_equal(dec_img, img)
+    rate, dec_s = M.decode_wav(wav)
+    assert rate == 8000 and np.array_equal(dec_s, samples)
+
+    media = spark.createDataFrame(
+        [(1, "image", "image/bmp", bmp, 5, 4, 0),
+         (2, "audio", "audio/wav", wav, 0, 0, 100)],
+        M.MEDIA_SCHEMA,
+    )
+    feats = {
+        r["media_id"]: r
+        for r in M.extract_features(media, use_stub_decoder=True).collect()
+    }
+    f1 = np.array(feats[1]["features"])
+    assert (f1[0], f1[1]) == (5.0, 4.0)  # width, height from DECODED image
+    flat = img.reshape(-1, 3).astype(np.float64)
+    assert np.allclose(f1[2:5], flat.mean(axis=0), atol=1e-4)
+    f2 = np.array(feats[2]["features"])
+    assert f2[0] == 8000.0 and f2[1] == 800.0
+    assert np.isclose(f2[3], samples.astype(np.float64).std(), rtol=1e-5)
+
+
 def test_multimodal_decode_stub_raises(spark):
     media = spark.createDataFrame(
         [(1, "image", "image/png", b"xx", 1, 1, 0)], M.MEDIA_SCHEMA
