@@ -46,12 +46,25 @@ def ensure_worker_imports(spark: SparkSession) -> None:
     key = sc.applicationId
     if key in _PYFILES_ADDED:
         return
+    sc.addPyFile(build_pkg_zip())
+    _PYFILES_ADDED.add(key)
+
+
+def build_pkg_zip(dest: str | None = None) -> str:
+    """Zip this package for ``spark-submit --py-files`` / ``addPyFile``.
+
+    The same artifact serves both launch paths: a cluster run passes the
+    zip to ``spark-submit --py-files`` (driver AND executors import from
+    it — no repo checkout needed on any node); a programmatic local
+    session ships it through ``ensure_worker_imports``. Returns the zip
+    path (default: a per-process file under the system temp dir).
+    """
     import os
     import tempfile
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zpath = os.path.join(
+    zpath = dest or os.path.join(
         tempfile.gettempdir(), f"sps_pkg_{os.getpid()}.zip"
     )
     with zipfile.ZipFile(zpath, "w") as z:
@@ -61,8 +74,7 @@ def ensure_worker_imports(spark: SparkSession) -> None:
                     full = os.path.join(root, f)
                     rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                     z.write(full, rel)
-    sc.addPyFile(zpath)
-    _PYFILES_ADDED.add(key)
+    return zpath
 
 
 def _t(spark, sf, name):

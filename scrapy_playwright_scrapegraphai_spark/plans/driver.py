@@ -795,8 +795,15 @@ class CrawlEngine:
             n_pending = adv["n_pending"]
             # bloom deltas for this step's new rows merge in the
             # background from the just-committed new_rows parquet;
-            # _flush_bloom_pending joins before the next probe
-            if bloom is not None and n_new:
+            # _flush_bloom_pending joins before the next probe. When the
+            # advance just showed the frontier is DRAINED (n_pending == 0)
+            # the next iteration terminates without probing, so the merge
+            # would only update the persisted shard file — skip it: the
+            # resume path tops the loaded bloom up from this step's
+            # committed new_rows delta anyway, and on a short final wave
+            # the terminal join below would otherwise stall the whole
+            # run's tail on a merge nobody reads.
+            if bloom is not None and n_new and n_pending > 0:
                 self._start_bloom_merge(spark, bloom, tables["new_rows"], step)
             for df in (tagged, parsed, new_rows):
                 df.unpersist()
@@ -811,9 +818,17 @@ class CrawlEngine:
         # its Spark jobs are not still running during spark.stop(); merge
         # errors are swallowed on this terminal path — the bloom is rebuilt
         # from the committed frontier on the next run(), so no state is lost
+        t_term = time.monotonic()
         for t, _state in self._bloom_pending:
             t.join()
         self._bloom_pending = []
+        if cfg.profile:
+            import sys
+
+            print(
+                f"[profile] terminal_bloom_join={time.monotonic()-t_term:.1f}s",
+                file=sys.stderr,
+            )
 
         return self._result(frontier, metrics_rows, lineage_paths, text_paths,
                             steps_run, latest)
