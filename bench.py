@@ -336,25 +336,28 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    # 3) crawl throughput at local[N] vs local[4N] — fresh JVM each.
-    # The scaling criterion is about the JOB's parallel fraction; this
-    # VM's per-core throughput itself degrades as occupancy rises
-    # (sustained-clock / hypervisor effects), so a multiprocessing
-    # control of the same kernel at the same core counts is measured
-    # alongside and the normalized efficiency (spark speedup / control
-    # speedup) is reported with the raw one. Pair override:
-    # SPARK_GRAFT_SCALE_CORES="8,32".
+    # 3) crawl throughput at local[N] vs local[4N] — fresh JVM each,
+    # REPEATED (default 3×) with the median reported. The scaling
+    # criterion is about the JOB's parallel fraction; this VM's per-core
+    # throughput itself degrades as occupancy rises (sustained-clock /
+    # hypervisor effects) AND drifts minute-to-minute, so (a) a
+    # multiprocessing control of the same kernel at the same core counts
+    # sandwiches every crawl leg and the normalized efficiency (spark
+    # speedup / control speedup) is reported beside the raw one, and
+    # (b) the whole pair is repeated and the MEDIAN raw + normalized
+    # efficiencies are the headline numbers — a single throttled window
+    # can no longer dominate the artifact, and the per-run spread is
+    # recorded so the noise band is visible instead of hidden.
+    # Overrides: SPARK_GRAFT_SCALE_CORES="8,32", SPARK_GRAFT_SCALE_REPEATS.
+    import statistics
+
     lo, hi = (
         int(x)
         for x in os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8").split(",")
     )
-    runs = {}
-    ctl: dict = {}
-    for cores in (lo, hi):
-        # control sandwiches each crawl: pre + post, averaged — the
-        # normalizer then sees the same thermal window as the subject
-        # (a single up-front control misses drift that hits only the
-        # later crawl)
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
+
+    def _one_leg(cores: int) -> tuple[dict, dict]:
         ctl_pre = _hw_control_one(cores)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--crawl-run", str(cores)],
@@ -366,71 +369,98 @@ def main() -> None:
             print(proc.stdout[-2000:], file=sys.stderr)
             print(proc.stderr[-4000:], file=sys.stderr)
             raise RuntimeError(f"crawl run at {cores} cores failed")
-        runs[cores] = json.loads(line[-1][len("CRAWLJSON:"):])
+        run = json.loads(line[-1][len("CRAWLJSON:"):])
         ctl_post = _hw_control_one(cores)
-        ctl[cores] = {
+        ctl = {
             "pre": round(ctl_pre, 1),
             "post": round(ctl_post, 1),
             "mean": (ctl_pre + ctl_post) / 2.0,
         }
         print(
-            f"# crawl local[{cores}]: {runs[cores]['wall_s']:.1f}s "
-            f"{runs[cores]['urls_per_sec']:.0f} urls/s "
+            f"# crawl local[{cores}]: {run['wall_s']:.1f}s "
+            f"{run['urls_per_sec']:.0f} urls/s "
             f"(hw control {ctl_pre:.0f}/{ctl_post:.0f} pages/s)",
             file=sys.stderr,
         )
-    hw = {
-        lo: ctl[lo]["mean"], hi: ctl[hi]["mean"],
-        "speedup": ctl[hi]["mean"] / ctl[lo]["mean"],
-    }
-    hw["efficiency"] = hw["speedup"] / (hi / lo)
-    print(
-        f"# hw control (mp parse, crawl-adjacent mean): "
-        f"{hw[lo]:.0f} → {hw[hi]:.0f} pages/s, "
-        f"ceiling efficiency {hw['efficiency']:.3f}",
-        file=sys.stderr,
-    )
+        return run, ctl
 
-    rlo, rhi = runs[lo], runs[hi]
-    assert rlo["checksum"] == rhi["checksum"], (
-        "seen-set/ordering mismatch across parallelism levels!"
+    run_details: list[dict] = []
+    checksums: set = set()
+    for rep in range(repeats):
+        rlo, clo = _one_leg(lo)
+        rhi, chi = _one_leg(hi)
+        assert rlo["checksum"] == rhi["checksum"], (
+            "seen-set/ordering mismatch across parallelism levels!"
+        )
+        assert rlo["frontier_rows"] == rhi["frontier_rows"]
+        checksums.add(rlo["checksum"])
+        speedup = rhi["urls_per_sec"] / rlo["urls_per_sec"]
+        hw_speedup = chi["mean"] / clo["mean"]
+        run_details.append(
+            {
+                "urls_per_sec_low": round(rlo["urls_per_sec"], 1),
+                "urls_per_sec_high": round(rhi["urls_per_sec"], 1),
+                "wall_s_low": round(rlo["wall_s"], 2),
+                "wall_s_high": round(rhi["wall_s"], 2),
+                "speedup": round(speedup, 3),
+                "efficiency": round(speedup / (hi / lo), 3),
+                "hw_control_pre_post": {
+                    str(lo): [clo["pre"], clo["post"]],
+                    str(hi): [chi["pre"], chi["post"]],
+                },
+                "hw_control_speedup": round(hw_speedup, 3),
+                "hw_control_efficiency": round(hw_speedup / (hi / lo), 3),
+                "efficiency_normalized": round(
+                    min(1.0, speedup / hw_speedup), 3
+                ),
+                "efficiency_normalized_unclamped": round(
+                    speedup / hw_speedup, 3
+                ),
+                "superstep_wall_s_high": rhi["superstep_wall_s"],
+            }
+        )
+        print(
+            f"# scaling repeat {rep + 1}/{repeats}: raw efficiency "
+            f"{run_details[-1]['efficiency']:.3f}, normalized "
+            f"{run_details[-1]['efficiency_normalized_unclamped']:.3f}",
+            file=sys.stderr,
+        )
+    # every repeat at every parallelism level must produce the identical
+    # seen set + ordering — the checksum is over (seq, url, state, depth)
+    assert len(checksums) == 1, f"checksum drift across repeats: {checksums}"
+
+    med = lambda key: statistics.median(r[key] for r in run_details)  # noqa: E731
+    rep_med = min(  # the repeat whose raw efficiency IS the median
+        run_details,
+        key=lambda r: abs(r["efficiency"] - med("efficiency")),
     )
-    assert rlo["frontier_rows"] == rhi["frontier_rows"]
-    speedup = rhi["urls_per_sec"] / rlo["urls_per_sec"]
-    efficiency = speedup / (hi / lo)
     out["scaling"] = {
         "cores_low": lo,
         "cores_high": hi,
-        "urls_per_sec_low": round(rlo["urls_per_sec"], 1),
-        "urls_per_sec_high": round(rhi["urls_per_sec"], 1),
-        "wall_s_low": round(rlo["wall_s"], 2),
-        "wall_s_high": round(rhi["wall_s"], 2),
-        "speedup": round(speedup, 3),
-        "efficiency": round(efficiency, 3),
-        "hw_control_pages_per_sec": {
-            str(lo): round(hw[lo], 1), str(hi): round(hw[hi], 1),
-        },
-        # crawl-adjacent pre/post control samples (drift visibility)
-        "hw_control_pre_post": {
-            str(lo): [ctl[lo]["pre"], ctl[lo]["post"]],
-            str(hi): [ctl[hi]["pre"], ctl[hi]["post"]],
-        },
-        "hw_control_efficiency": round(hw["efficiency"], 3),
-        # clamped headline + unclamped ratio: values > 1.0 mean the control
-        # measurement itself was noise-depressed; reporting both makes the
-        # normalization's own noise band visible instead of hiding it
-        "efficiency_normalized": round(
-            min(1.0, speedup / hw["speedup"]), 3
+        "repeats": repeats,
+        # headline values = per-repeat MEDIANS (raw first-class, not
+        # rescued by the control normalization; the per-run spread is in
+        # `runs`)
+        "urls_per_sec_low": round(med("urls_per_sec_low"), 1),
+        "urls_per_sec_high": round(med("urls_per_sec_high"), 1),
+        "wall_s_low": round(med("wall_s_low"), 2),
+        "wall_s_high": round(med("wall_s_high"), 2),
+        "speedup": round(med("speedup"), 3),
+        "efficiency": round(med("efficiency"), 3),
+        "hw_control_efficiency": round(med("hw_control_efficiency"), 3),
+        "efficiency_normalized": round(med("efficiency_normalized"), 3),
+        "efficiency_normalized_unclamped": round(
+            med("efficiency_normalized_unclamped"), 3
         ),
-        "efficiency_normalized_unclamped": round(speedup / hw["speedup"], 3),
+        "runs": run_details,
         "identical_seen_set_and_ordering": True,
         "frontier_rows": rhi["frontier_rows"],
         "fetched_pages": rhi["fetched_pages"],
         "supersteps": rhi["supersteps"],
-        "superstep_wall_s_high": rhi["superstep_wall_s"],
+        "superstep_wall_s_high": rep_med["superstep_wall_s_high"],
     }
     out["metric"] = f"crawl_urls_per_sec_local{hi}"
-    out["value"] = round(rhi["urls_per_sec"], 1)
+    out["value"] = out["scaling"]["urls_per_sec_high"]
 
     print(json.dumps(out))
 
