@@ -32,10 +32,12 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "48"))
-# 2048 pages/host (~113k pages, ~700 MB html) keeps the parallel parse
+# 3072 pages/host (~169k pages, ~1 GB html) keeps the parallel parse
 # section dominant over per-superstep fixed costs in the scaling
 # measurement — the representative regime for the 10^10-URL design point
-PAGES_PER_HOST = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "2048"))
+# (raised from 2048 in round 3: at 2048 the ~27 s of per-run fixed cost
+# at 8 cores capped raw efficiency at ~0.73 even on a calm VM)
+PAGES_PER_HOST = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "3072"))
 LINKS_PER_PAGE = int(os.environ.get("SPARK_GRAFT_BENCH_LINKS", "240"))
 WORDS_PER_PAGE = int(os.environ.get("SPARK_GRAFT_BENCH_WORDS", "1200"))
 # tmpfs (RAM-backed) for corpus, checkpoints, and shuffle spill: the
@@ -102,10 +104,14 @@ def make_spark(cores: int, app: str):
         )
         .config("spark.local.dir", f"{BENCH_TMP}/sps_spark_local")
         .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
-        # html pages are fat rows: 8 MB scan splits keep the pages-scan
+        # html pages are fat rows: 16 MB scan splits keep the pages-scan
         # side of fetch/extract at full core fan-out (128 MB default gave
-        # 2-3 input tasks for the whole corpus)
-        .config("spark.sql.files.maxPartitionBytes", "8m")
+        # 2-3 input tasks for the whole corpus) while halving the
+        # serial task-dispatch cost of the 8 MB splits used previously
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PART_BYTES", "16m"),
+        )
         .config("spark.sql.shuffle.partitions", str(max(32, 2 * cores)))
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
@@ -239,7 +245,7 @@ def crawl_run(cores: int) -> dict:
 # main
 # ---------------------------------------------------------------------------
 
-def _hw_control_one(k: int, n_pages: int = 4000) -> float:
+def _hw_control_one(k: int, groups_per_core: int = 8) -> float:
     """Hardware-ceiling control at ONE core count: the SAME fused
     page-parse kernel via plain multiprocessing (no Spark, no JVM),
     pinned to the first k allowed CPUs like the Spark runs. Returns
@@ -247,51 +253,58 @@ def _hw_control_one(k: int, n_pages: int = 4000) -> float:
     main) because this VM's sustained-clock state drifts on a scale of
     minutes — a control measured once up front misses throttling that
     hits only the later crawl, which is exactly the run-to-run noise the
-    normalization exists to remove."""
+    normalization exists to remove.
+
+    Work unit = one parquet ROW GROUP (≈400 pages), one task per group,
+    dynamically scheduled (imap_unordered) with ``groups_per_core``
+    groups per core. Each worker decodes ONLY its own groups — the
+    previous stride-over-shared-prefix form made every worker decode the
+    full prefix, so the redundant-decode fraction GREW with k and the
+    control under-read the machine at high core counts (fake per-core
+    'degradation', ~30% idle on the pinned CPUs at k=8)."""
     import multiprocessing as mp
 
     full_affinity = os.sched_getaffinity(0)
     os.sched_setaffinity(0, set(sorted(full_affinity)[:k]))
     try:
-        # workers read their own page slice from parquet (Pool.map would
-        # otherwise pickle ~100 MB of html SERIALLY in the parent,
-        # penalizing the high-core measurement); warm-up pass first so
-        # both measurements see hot page-cache + imported workers
+        import pyarrow.parquet as pq
+
+        n_groups_total = pq.ParquetFile(CORPUS_PATH).metadata.num_row_groups
+        n = min(groups_per_core * k, n_groups_total)
         with mp.Pool(k) as pool:
-            pool.map(_parse_chunk, [(CORPUS_PATH, 64 * k, i, 64) for i in range(k)])
+            # warm-up: one group per worker (imports + page cache hot)
+            pages = list(
+                pool.imap_unordered(
+                    _parse_rg, [(CORPUS_PATH, g % n_groups_total)
+                                for g in range(k)]
+                )
+            )
             t0 = time.monotonic()
-            pool.map(
-                _parse_chunk,
-                [(CORPUS_PATH, n_pages, i, k) for i in range(k)],
+            pages = list(
+                pool.imap_unordered(
+                    _parse_rg, [(CORPUS_PATH, g) for g in range(n)]
+                )
             )
             dt = time.monotonic() - t0
     finally:
         os.sched_setaffinity(0, full_affinity)
-    return n_pages / dt
+    return sum(pages) / dt
 
 
-def _parse_chunk(args) -> int:
-    path, n_pages, worker, stride = args
+def _parse_rg(args) -> int:
+    """Parse every page of one parquet row group (the control kernel)."""
+    path, group = args
     import pyarrow.parquet as pq
 
     from scrapy_playwright_scrapegraphai_spark.functions import kernels
 
-    pf = pq.ParquetFile(path)
-    urls: list = []
-    htmls: list = []
-    for batch in pf.iter_batches(columns=["url", "html"], batch_size=1024):
-        urls.extend(batch["url"].to_pylist())
-        htmls.extend(batch["html"].to_pylist())
-        if len(urls) >= n_pages:
-            break
-    urls = urls[worker:n_pages:stride]
-    htmls = htmls[worker:n_pages:stride]
-    n = 0
+    tbl = pq.ParquetFile(path).read_row_group(group, columns=["url", "html"])
+    urls = tbl["url"].to_pylist()
+    htmls = tbl["html"].to_pylist()
     for url, html in zip(urls, htmls):
         links, _text = kernels.parse_page(html, url)
         kernels.classify_links(url, links, 2, [".pdf"], "/page/", 1, 1)
-        n += 1
-    return n
+    return len(urls)
 
 
 def main() -> None:
@@ -301,24 +314,28 @@ def main() -> None:
 
     out: dict = {"sf": SF_DIR, "unit": "urls/sec"}
 
-    # 1) headline operator queries at sf dir
-    from scrapy_playwright_scrapegraphai_spark import entry_queries as EQ
+    # 1) headline operator queries at sf dir (skippable for scaling-only
+    # iteration runs: SPARK_GRAFT_BENCH_SKIP_QUERIES=1)
+    if os.environ.get("SPARK_GRAFT_BENCH_SKIP_QUERIES", "") != "1":
+        from scrapy_playwright_scrapegraphai_spark import entry_queries as EQ
 
-    spark = make_spark(CPUS, "sps-bench-queries")
-    spark.sparkContext.setLogLevel("ERROR")
-    # untimed warmup: absorbs one-time session costs (codegen, committer
-    # init, python worker spawn, parquet footer reads) so the FIRST timed
-    # query doesn't carry them
-    EQ.QUERIES["politeness_topk"](spark, SF_DIR).count()
-    qtimes: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = EQ.QUERIES[name]
-        t0 = time.monotonic()
-        n = fn(spark, SF_DIR).count()
-        qtimes[name] = round(time.monotonic() - t0, 3)
-        print(f"# query {name}: {qtimes[name]}s ({n} rows)", file=sys.stderr)
-    spark.stop()
-    out["queries"] = qtimes
+        spark = make_spark(CPUS, "sps-bench-queries")
+        spark.sparkContext.setLogLevel("ERROR")
+        # untimed warmup: absorbs one-time session costs (codegen,
+        # committer init, python worker spawn, parquet footer reads) so
+        # the FIRST timed query doesn't carry them
+        EQ.QUERIES["politeness_topk"](spark, SF_DIR).count()
+        qtimes: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = EQ.QUERIES[name]
+            t0 = time.monotonic()
+            n = fn(spark, SF_DIR).count()
+            qtimes[name] = round(time.monotonic() - t0, 3)
+            print(
+                f"# query {name}: {qtimes[name]}s ({n} rows)", file=sys.stderr
+            )
+        spark.stop()
+        out["queries"] = qtimes
 
     # 2) bench corpus (generated once, reused by both crawl runs)
     from scrapy_playwright_scrapegraphai_spark.sources.bench_corpus import (
@@ -356,8 +373,13 @@ def main() -> None:
         for x in os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8").split(",")
     )
     repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
+    # idle pause before each crawl leg: the VM's sustained-clock state
+    # recovers during idle, so every leg starts from a comparable thermal
+    # window instead of inheriting the previous leg's throttle
+    cooldown_s = float(os.environ.get("SPARK_GRAFT_SCALE_COOLDOWN", "45"))
 
     def _one_leg(cores: int) -> tuple[dict, dict]:
+        time.sleep(cooldown_s)
         ctl_pre = _hw_control_one(cores)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--crawl-run", str(cores)],
@@ -387,8 +409,16 @@ def main() -> None:
     run_details: list[dict] = []
     checksums: set = set()
     for rep in range(repeats):
-        rlo, clo = _one_leg(lo)
-        rhi, chi = _one_leg(hi)
+        # alternate which parallelism level runs first: leg order is not
+        # thermally neutral (the leg that runs first sees a cooler VM),
+        # so a fixed order would bias every repeat the same way; the
+        # median over alternating orders cancels it
+        if rep % 2 == 0:
+            rlo, clo = _one_leg(lo)
+            rhi, chi = _one_leg(hi)
+        else:
+            rhi, chi = _one_leg(hi)
+            rlo, clo = _one_leg(lo)
         assert rlo["checksum"] == rhi["checksum"], (
             "seen-set/ordering mismatch across parallelism levels!"
         )
@@ -398,6 +428,7 @@ def main() -> None:
         hw_speedup = chi["mean"] / clo["mean"]
         run_details.append(
             {
+                "order": "lo_first" if rep % 2 == 0 else "hi_first",
                 "urls_per_sec_low": round(rlo["urls_per_sec"], 1),
                 "urls_per_sec_high": round(rhi["urls_per_sec"], 1),
                 "wall_s_low": round(rlo["wall_s"], 2),

@@ -236,7 +236,8 @@ class CrawlEngine:
         return bloom
 
     def _start_bloom_merge(self, spark: SparkSession, bloom: BloomShards,
-                           path: str, step: int) -> None:
+                           path: str, step: int,
+                           cached_df: DataFrame | None = None) -> None:
         """OR the committed new_rows' urls into the shards on a background
         thread — overlaps with the frontier advance and the next step's
         politeness/fetch planning. At most one merge is ever in flight
@@ -245,15 +246,27 @@ class CrawlEngine:
         next to the snapshots (atomic rename) so a resumed run loads them
         instead of re-scanning the frontier; a kill mid-save leaves the
         previous save, which the resume path tops up from the committed
-        new_rows deltas."""
+        new_rows deltas.
+
+        ``cached_df`` lets the merge aggregate over the still-cached
+        new_rows DataFrame instead of re-reading the committed parquet
+        (one cache scan instead of a cold scan — the merge finishes
+        sooner, shrinking the next superstep's flush wait); the thread
+        unpersists it when done. Falls back to ``path`` on any error via
+        the pending-state re-raise."""
         import threading
 
         state = {"err": None}
 
         def run():
             try:
-                bloom.add_df(spark.read.parquet(path).select("url"))
+                src = cached_df if cached_df is not None else (
+                    spark.read.parquet(path)
+                )
+                bloom.add_df(src.select("url"))
                 bloom.save(self._bloom_path(), step)
+                if cached_df is not None:
+                    cached_df.unpersist()
             except BaseException as e:  # noqa: BLE001 — must not lose it
                 state["err"] = e
 
@@ -711,10 +724,16 @@ class CrawlEngine:
             # the table writes so n_new can come off the new_rows
             # Observation instead of a dedicated count job.
             # K2: per-fetched-page text (north-rule invariant) — already
-            # extracted in the fused parse pass; this is a cache scan
+            # extracted in the fused parse pass; this is a cache scan.
+            # A politeness-small batch (e.g. the seed superstep: dozens of
+            # rows) would otherwise inherit the pages-scan partitioning —
+            # ~100 write tasks for ~50 rows, pure dispatch overhead — so
+            # collapse it to one file; large waves keep full fan-out.
             page_text = parsed.select(
                 "discovery_seq", F.col("page_url").alias("url"), "text"
             )
+            if n_pending <= cfg.lookup_pushdown_threshold:
+                page_text = page_text.coalesce(1)
             commit: dict = {}
 
             def _commit_meta() -> dict:
@@ -774,7 +793,9 @@ class CrawlEngine:
             self.store.write_step(
                 step,
                 {
-                    "updates": updates.coalesce(8),
+                    "updates": updates.coalesce(
+                        1 if n_pending <= cfg.lookup_pushdown_threshold else 8
+                    ),
                     "new_rows": new_rows,
                     "lineage": step_lineage.coalesce(1),
                     "page_text": page_text,
@@ -803,9 +824,15 @@ class CrawlEngine:
             # committed new_rows delta anyway, and on a short final wave
             # the terminal join below would otherwise stall the whole
             # run's tail on a merge nobody reads.
-            if bloom is not None and n_new and n_pending > 0:
-                self._start_bloom_merge(spark, bloom, tables["new_rows"], step)
-            for df in (tagged, parsed, new_rows):
+            merge_owns_new_rows = bloom is not None and n_new and n_pending > 0
+            if merge_owns_new_rows:
+                self._start_bloom_merge(
+                    spark, bloom, tables["new_rows"], step,
+                    cached_df=new_rows,
+                )
+            for df in (tagged, parsed) + (
+                () if merge_owns_new_rows else (new_rows,)
+            ):
                 df.unpersist()
             _mark("advance")
             if cfg.profile:
