@@ -352,6 +352,35 @@ def knn_lsh(
     )
 
 
+def _assign_nearest(v: DataFrame, cent: DataFrame,
+                    carry: tuple[str, ...] = ("qv",)) -> DataFrame:
+    """(vid, cell, *carry): nearest centroid per vector, as a
+    hash-aggregate argmin. ``min(struct(d2, cell, ...))`` compares
+    (d2, cell) lexicographically — the identical argmin + lowest-cell-id
+    tie-break as a row_number window — but gets map-side partial combine:
+    the shuffle carries ONE candidate per (vid, map partition) instead of
+    num_cells rows per vid through a sort-window exchange. ``v`` needs
+    (vid, qv, n); ``cent`` needs (cell, cv, cn); distances are int64
+    ||v−c||² = n − 2·v·c + cn (bit-stable across partitioning)."""
+    d2 = (
+        F.col("n") - F.lit(2) * int_dot_expr(F.col("qv"), F.col("cv"))
+        + F.col("cn")
+    )
+    return (
+        v.crossJoin(F.broadcast(cent))
+        .withColumn("_d2", d2)
+        .groupBy("vid")
+        .agg(
+            F.min(
+                F.struct(F.col("_d2"), F.col("cell"),
+                         *[F.col(c) for c in carry])
+            ).alias("m")
+        )
+        .select("vid", F.col("m.cell").alias("cell"),
+                *[F.col(f"m.{c}").alias(c) for c in carry])
+    )
+
+
 def ivf_cells(
     embeddings: DataFrame,
     num_cells: int = 16,
@@ -381,19 +410,7 @@ def ivf_cells(
             F.col("n").alias("cn"),
         )
     )
-    dists = v.crossJoin(F.broadcast(cent)).select(
-        "vid", "qv", "n", "cell",
-        (
-            F.col("n") - F.lit(2) * int_dot_expr(F.col("qv"), F.col("cv"))
-            + F.col("cn")
-        ).alias("d2"),
-    )
-    w = Window.partitionBy("vid").orderBy(F.col("d2").asc(), F.col("cell").asc())
-    assign = (
-        dists.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .select("vid", "cell", "qv", "n")
-    )
+    assign = _assign_nearest(v, cent, carry=("qv", "n"))
     return cent, assign
 
 
@@ -439,20 +456,7 @@ def kmeans_refine_cells(
         )
     )
     for _ in range(max(0, iters)):
-        d2 = (
-            F.col("n") - F.lit(2) * int_dot_expr(F.col("qv"), F.col("cv"))
-            + F.col("cn")
-        )
-        w = Window.partitionBy("vid").orderBy(
-            F.col("_d2").asc(), F.col("cell").asc()
-        )
-        assign = (
-            v.crossJoin(F.broadcast(cent))
-            .withColumn("_d2", d2)
-            .withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") == 1)
-            .select("vid", "cell", "qv")
-        )
+        assign = _assign_nearest(v, cent)
         sums = (
             assign.select("cell", F.posexplode("qv").alias("pos", "val"))
             .groupBy("cell", "pos")
@@ -490,7 +494,11 @@ def kmeans_refine_cells(
                 F.coalesce("cn", "_old_cn").alias("cn"),
             )
         )
-        cent = cent.localCheckpoint(eager=True)  # truncate iteration lineage
+        if iters > 1:
+            # truncate the growing iteration lineage; a single-iteration
+            # refine (the default) has a shallow plan — skipping the
+            # eager materialization saves one job barrier
+            cent = cent.localCheckpoint(eager=True)
     return cent
 
 
@@ -530,20 +538,7 @@ def knn_ivf(
             F.col(id_col).alias("vid"),
             quantize_expr(F.col(vec_col), scale).alias("qv"),
         ).withColumn("n", sq_norm_expr(F.col("qv")))
-        d2 = (
-            F.col("n") - F.lit(2) * int_dot_expr(F.col("qv"), F.col("cv"))
-            + F.col("cn")
-        )
-        wv = Window.partitionBy("vid").orderBy(
-            F.col("_d2").asc(), F.col("cell").asc()
-        )
-        assign = (
-            v.crossJoin(F.broadcast(cent))
-            .withColumn("_d2", d2)
-            .withColumn("_r", F.row_number().over(wv))
-            .filter(F.col("_r") == 1)
-            .select("vid", "cell", "qv")
-        )
+        assign = _assign_nearest(v, cent)
     else:
         cent, assign = ivf_cells(embeddings, num_cells, id_col, vec_col, scale)
     q = queries.select(
