@@ -32,12 +32,17 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "48"))
-# 3072 pages/host (~169k pages, ~1 GB html) keeps the parallel parse
+# 2048 pages/host (~113k pages, ~700 MB html) keeps the parallel parse
 # section dominant over per-superstep fixed costs in the scaling
-# measurement — the representative regime for the 10^10-URL design point
-# (raised from 2048 in round 3: at 2048 the ~27 s of per-run fixed cost
-# at 8 cores capped raw efficiency at ~0.73 even on a calm VM)
-PAGES_PER_HOST = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "3072"))
+# measurement — the representative regime for the 10^10-URL design point.
+# Round 3 measured 3072/host as well (better parallel fraction on paper:
+# fixed cost caps raw efficiency ≈0.80 vs ≈0.76) but this sandbox's host
+# throttles sustained multi-minute full-core burns — the longer 8-core
+# legs collapsed mid-run in 4 of 6 attempts (hw control dropping ~45%
+# DURING the leg, recorded in scaling.runs) while the ~2-minute legs at
+# 2048 mostly dodge the limiter, so 2048 measures the ENGINE rather than
+# the host's burn budget. Override: SPARK_GRAFT_BENCH_PAGES.
+PAGES_PER_HOST = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "2048"))
 LINKS_PER_PAGE = int(os.environ.get("SPARK_GRAFT_BENCH_LINKS", "240"))
 WORDS_PER_PAGE = int(os.environ.get("SPARK_GRAFT_BENCH_WORDS", "1200"))
 # tmpfs (RAM-backed) for corpus, checkpoints, and shuffle spill: the
