@@ -378,10 +378,15 @@ def main() -> None:
         for x in os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8").split(",")
     )
     repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
-    # idle pause before each crawl leg: the VM's sustained-clock state
-    # recovers during idle, so every leg starts from a comparable thermal
-    # window instead of inheriting the previous leg's throttle
-    cooldown_s = float(os.environ.get("SPARK_GRAFT_SCALE_COOLDOWN", "45"))
+    # idle pause before each crawl leg: this host's burn limiter
+    # replenishes during idle on a minutes scale, and a leg that starts
+    # on a depleted budget (inherited from the PREVIOUS leg's burn) reads
+    # up to ~50% slow — measured directly in round 3, where the only
+    # repeats whose 8-core leg started rested hit raw 0.70–0.78 while
+    # legs starting right after a 5-minute 2-core burn read 0.39–0.52.
+    # 120 s costs ~12 min per 3-repeat bench and buys each leg a
+    # comparable starting budget.
+    cooldown_s = float(os.environ.get("SPARK_GRAFT_SCALE_COOLDOWN", "120"))
 
     def _one_leg(cores: int) -> tuple[dict, dict]:
         time.sleep(cooldown_s)
