@@ -72,14 +72,20 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "embedding_dup_pairs_gated",
     "config_url_log",
     "text_quality",
     "text_langid",
     "text_winnowing",
+    "text_tokens_bpe",
     "knn_bruteforce",
     "knn_lsh",
     "knn_ivf",
+    # the k-means-refined default's cost tracked against its seed-codebook
+    # baseline (VERDICT r3 task #4): the delta between these two IS the
+    # price of the Lloyd refinement job
+    "knn_ivf_seed",
 ]
 
 

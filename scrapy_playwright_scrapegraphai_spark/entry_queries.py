@@ -898,17 +898,38 @@ def q_dedup_minhash_lsh(spark, sf):
     (operators/dedup.py:_hash_pair) is portable, so the DuckDB oracle
     recomputes every 64-slot signature, bands it identically, and must
     produce the exact same candidate set — a full rows+schema+hash check
-    of the sketch, not a rows-only count."""
+    of the sketch, not a rows-only count. Runs the engine DEFAULT
+    hot-bucket guard (max_bucket_size=1024: band buckets above the cap
+    emit star pairs against the bucket-min doc instead of the local
+    quadratic) and the oracle mirrors the cap exactly."""
     d = _t(spark, sf, "documents")
     return D.minhash_lsh_candidates(d, num_hashes=64, bands=16, shingle_n=3)
+
+
+def q_dedup_minhash_lsh_star(spark, sf):
+    """The hot-bucket STAR degradation exercised for real: cap=2 forces
+    every band bucket with ≥3 members onto the star path (member ↔
+    bucket-min canonical pairs only), which is what a 10^6-doc
+    boilerplate cluster hits at 100 TB (at sf0.01 that's 14 band
+    buckets). Oracle mirrors the conditional star in SQL — full value
+    check of the guard itself; tests/test_dedup_similarity.py asserts
+    the behavioral difference (pair-count collapse) on a 10^4-doc
+    near-identical cluster."""
+    d = _t(spark, sf, "documents")
+    return D.minhash_lsh_candidates(
+        d, num_hashes=64, bands=16, shingle_n=3, max_bucket_size=2
+    )
 
 
 # The oracle rebuilds the MinHash signatures in SQL:
 # DuckDB md5_number_upper(s) == int.from_bytes(md5(s)[:8],'little') (= a),
 # md5_number_lower(s) == bytes 8:16 (= b); sig_i = min (a + i*b) mod M over
 # the doc's distinct 3-gram shingles; band key = 4 consecutive sig values
-# joined with '-'; candidates = distinct same-band collisions.
-SQL_DEDUP_MINHASH_LSH = r"""
+# joined with '-'; candidates = same-band collisions, all-pairs up to the
+# bucket cap, star pairs (canon=min doc ↔ member) above it — the exact
+# mirror of operators/dedup.py:_bucket_pair_expand's hot-bucket guard.
+def _sql_dedup_minhash_lsh(cap: int) -> str:
+    return r"""
 WITH toks AS (
   SELECT doc_id AS doc, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents WHERE text IS NOT NULL
 ), sh AS (
@@ -938,12 +959,28 @@ WITH toks AS (
   SELECT doc, CAST(i // 4 AS INT) AS band_idx,
          md5(string_agg(sig_i::VARCHAR, '-' ORDER BY i)) AS band_hash
   FROM sig GROUP BY doc, i // 4
+), bsz AS (
+  SELECT band_idx, band_hash, count(*) AS n, min(doc) AS canon
+  FROM bands GROUP BY 1, 2
 )
-SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
-FROM bands x
-JOIN bands y ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
-            AND x.doc < y.doc
-"""
+SELECT DISTINCT doc_a, doc_b FROM (
+  SELECT x.doc AS doc_a, y.doc AS doc_b
+  FROM bands x
+  JOIN bands y ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+              AND x.doc < y.doc
+  JOIN bsz s ON s.band_idx = x.band_idx AND s.band_hash = x.band_hash
+  WHERE s.n <= {cap}
+  UNION ALL
+  SELECT s.canon AS doc_a, b.doc AS doc_b
+  FROM bands b
+  JOIN bsz s ON s.band_idx = b.band_idx AND s.band_hash = b.band_hash
+  WHERE s.n > {cap} AND b.doc <> s.canon
+) p
+""".replace("{cap}", str(cap))
+
+
+SQL_DEDUP_MINHASH_LSH = _sql_dedup_minhash_lsh(1024)
+SQL_DEDUP_MINHASH_LSH_STAR = _sql_dedup_minhash_lsh(2)
 
 
 def q_dedup_simhash(spark, sf):
@@ -989,11 +1026,27 @@ WITH toks AS (
   SELECT doc, sig,
          c.c AS chunk_idx, CAST((u >> (16 * c.c)) & 65535 AS BIGINT) AS chunk
   FROM ssig, unnest(generate_series(0, 3)) AS c(c)
+), bsz AS (
+  -- hot-bucket guard mirror (_bucket_pair_expand max_bucket_size=1024):
+  -- over-cap chunk buckets emit star pairs vs the bucket-min doc
+  SELECT chunk_idx, chunk, count(*) AS n, min(doc) AS canon
+  FROM chunks GROUP BY 1, 2
 ), pairs AS (
-  SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b, x.sig AS sa, y.sig AS sb
-  FROM chunks x
-  JOIN chunks y ON x.chunk_idx = y.chunk_idx AND x.chunk = y.chunk
-               AND x.doc < y.doc
+  SELECT DISTINCT doc_a, doc_b, sa, sb FROM (
+    SELECT x.doc AS doc_a, y.doc AS doc_b, x.sig AS sa, y.sig AS sb
+    FROM chunks x
+    JOIN chunks y ON x.chunk_idx = y.chunk_idx AND x.chunk = y.chunk
+                 AND x.doc < y.doc
+    JOIN bsz s ON s.chunk_idx = x.chunk_idx AND s.chunk = x.chunk
+    WHERE s.n <= 1024
+    UNION ALL
+    SELECT c.doc AS doc_a, b.doc AS doc_b, c.sig AS sa, b.sig AS sb
+    FROM chunks b
+    JOIN bsz s ON s.chunk_idx = b.chunk_idx AND s.chunk = b.chunk
+    JOIN chunks c ON c.chunk_idx = b.chunk_idx AND c.chunk = b.chunk
+                 AND c.doc = s.canon
+    WHERE s.n > 1024 AND b.doc <> s.canon
+  ) q
 )
 SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
 FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
@@ -1640,6 +1693,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_lsh_star": q_dedup_minhash_lsh_star,
     "dedup_simhash": q_dedup_simhash,
     "knn_bruteforce": q_knn_bruteforce,
     "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -1691,6 +1745,7 @@ ORACLE_SQL = {
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_ngram_jaccard_capped": SQL_DEDUP_NGRAM_JACCARD_CAPPED,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+    "dedup_minhash_lsh_star": SQL_DEDUP_MINHASH_LSH_STAR,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,

@@ -129,15 +129,36 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 
 def _bucket_pair_expand(bucketed: DataFrame, key_cols: list[str],
-                        payload) -> DataFrame:
-    """Emit all within-bucket pairs (a, b), a before b in sorted order.
+                        payload, max_bucket_size: int | None = None
+                        ) -> DataFrame:
+    """Emit within-bucket candidate pairs (a, b), a before b in sorted order.
 
     One groupBy shuffle + in-memory explode per bucket — the sketch side
     of the plan evaluates ONCE (a self-join would recompute the signature
     UDF for each side) and the candidate pair space materializes only
-    inside buckets. LSH bucket sizes are small by construction; a
-    pathological hot bucket (all-identical docs) degrades to that
-    bucket's local quadratic, same as any LSH implementation.
+    inside buckets.
+
+    Hot-bucket guard (``max_bucket_size``): a web corpus routinely lands
+    10^5–10^6 boilerplate near-identical docs (parked domains, templated
+    pages — NOT removed by exact dedup when they differ by a token) in
+    ONE band bucket; all-pairs there is a local O(bucket²) — 10^12 pairs
+    — that no executor survives. Buckets larger than the cap therefore
+    degrade to STAR pairs: every member pairs with the bucket's minimum
+    element only. Nothing is silently dropped — every doc still reaches
+    the output connected to its cluster's canonical member, so the full
+    duplicate cluster is recoverable transitively (connected components
+    after verification), which is exactly how dedup pipelines consume
+    candidate pairs; the pair count per hot bucket is n-1 instead of
+    n(n-1)/2. The branch is a single CASE over the aggregated array —
+    same plan shape (hash aggregate, map-side combine), no second
+    evaluation of the sketch UDF, deterministic (array_sort), and an
+    independent SQL engine can mirror it exactly (bucket-size CTE +
+    conditional star — see entry_queries.SQL_DEDUP_MINHASH_LSH).
+
+    The per-bucket aggregation row stays O(bucket) (an id array: ~8 MB at
+    10^6 members, ObjectHashAggregate spills to sort-based when over
+    budget), never O(bucket²). ``None`` disables the guard (exact
+    all-pairs — small-scale verification runs only).
     """
     grouped = (
         bucketed.groupBy(*key_cols)
@@ -146,7 +167,7 @@ def _bucket_pair_expand(bucketed: DataFrame, key_cols: list[str],
         .withColumn("_items", F.array_sort("_items"))
     )
     items = F.col("_items")
-    pairs = F.flatten(
+    all_pairs = F.flatten(
         F.transform(
             items,
             lambda x, i: F.transform(
@@ -159,6 +180,18 @@ def _bucket_pair_expand(bucketed: DataFrame, key_cols: list[str],
             ),
         )
     )
+    if max_bucket_size is not None:
+        star = F.transform(
+            F.slice(items, 2, F.size(items) - 1),
+            lambda y: F.struct(
+                F.element_at(items, 1).alias("a"), y.alias("b")
+            ),
+        )
+        pairs = F.when(
+            F.size(items) <= F.lit(max_bucket_size), all_pairs
+        ).otherwise(star)
+    else:
+        pairs = all_pairs
     return grouped.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
 
 
@@ -223,13 +256,17 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_n: int = 3,
     band_key: str = "md5",
+    max_bucket_size: int | None = 1024,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) via banded LSH.
 
     rows r = num_hashes/bands; two docs collide iff some band of their
     signatures is identical — P(collide) ≈ 1-(1-j^r)^b for Jaccard j.
     The pair space never materializes: docs meet only inside
-    (band_idx, band_hash) buckets.
+    (band_idx, band_hash) buckets. Buckets above ``max_bucket_size``
+    (boilerplate mega-clusters) emit star pairs against the bucket-min
+    doc instead of all pairs — see ``_bucket_pair_expand``; the cluster
+    stays connected, the local quadratic is gone.
 
     ``band_key`` bounds the shuffle-key width of the band bucket join:
     - ``"md5"`` (default): md5 hex of the joined band slice — 32 chars
@@ -276,7 +313,10 @@ def minhash_lsh_candidates(
         ).alias("bb"),
     ).select("doc", "bb.band_idx", "bb.band_hash")
     return (
-        _bucket_pair_expand(banded, ["band_idx", "band_hash"], F.col("doc"))
+        _bucket_pair_expand(
+            banded, ["band_idx", "band_hash"], F.col("doc"),
+            max_bucket_size=max_bucket_size,
+        )
         .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
         .distinct()
     )
@@ -338,6 +378,7 @@ def simhash_candidates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     shingle_n: int = 1,
+    max_bucket_size: int | None = 1024,
 ) -> DataFrame:
     """Near-dup pairs with hamming(sig_a, sig_b) ≤ max_hamming.
 
@@ -345,6 +386,14 @@ def simhash_candidates(
     any pair within hamming ≤ 3 shares at least one chunk verbatim
     (pigeonhole), so candidates come from chunk-bucket joins, then the
     exact hamming check filters. Returns (doc_a, doc_b, hamming).
+
+    Chunk buckets above ``max_bucket_size`` emit star pairs against the
+    bucket-min (doc, sig) member instead of all pairs (hot-bucket guard,
+    see ``_bucket_pair_expand``); the hamming filter then applies to the
+    star edges, so an over-cap cluster keeps its members that are within
+    ``max_hamming`` of the canonical member — the verified-duplicate
+    semantics of a boilerplate mega-cluster — without the local
+    quadratic.
     """
     df = df.filter(F.col(text_col).isNotNull())  # null docs carry no signature
     sigs = df.select(
@@ -370,7 +419,9 @@ def simhash_candidates(
     ).select("doc", "sig", "cc.chunk_idx", "cc.chunk")
     pairs = (
         _bucket_pair_expand(
-            chunked, ["chunk_idx", "chunk"], F.struct(F.col("doc"), F.col("sig"))
+            chunked, ["chunk_idx", "chunk"],
+            F.struct(F.col("doc"), F.col("sig")),
+            max_bucket_size=max_bucket_size,
         )
         .select(
             F.col("a.doc").alias("doc_a"),

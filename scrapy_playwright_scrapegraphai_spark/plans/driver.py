@@ -65,7 +65,6 @@ from ..operators.frontier import (
     first_writer_dedup,
 )
 from ..operators.seenset import BloomShards
-from ..operators.stats import run_log_rollup
 from .store import SnapshotStore
 
 METRICS_DDL = (

@@ -157,6 +157,72 @@ def test_simhash_near_dups(docs):
     assert all(r["hamming"] <= 3 for r in pairs)
 
 
+def test_hot_bucket_star_semantics(spark):
+    """cap=2 on four identical docs: the over-cap bucket must emit star
+    pairs against the bucket-min doc only (uncapped emits all 6)."""
+    df = spark.createDataFrame(
+        [(i, "same boilerplate text repeated for every row here") for i in range(1, 5)],
+        "doc_id long, text string",
+    )
+    star = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_candidates(df, max_bucket_size=2).collect()
+    }
+    assert star == {(1, 2), (1, 3), (1, 4)}
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_candidates(df, max_bucket_size=None).collect()
+    }
+    assert full == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+
+
+def test_hot_bucket_guard_equivalence(docs):
+    """On a corpus with no bucket over the cap, the guarded (default)
+    and unguarded plans must produce identical pair sets — the guard
+    changes nothing until a bucket actually exceeds it."""
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_candidates(docs).collect()
+    }
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_candidates(docs, max_bucket_size=None).collect()
+    }
+    assert capped == uncapped and len(capped) > 0
+    s_capped = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in D.simhash_candidates(docs).collect()
+    }
+    s_uncapped = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in D.simhash_candidates(docs, max_bucket_size=None).collect()
+    }
+    assert s_capped == s_uncapped and len(s_capped) > 0
+
+
+def test_hot_bucket_guard_10k_cluster(spark):
+    """10^4 near-identical docs — the boilerplate mega-cluster from the
+    100 TB design point (VERDICT r3 weak #2). Every band bucket holds
+    all 10^4 docs; all-pairs would be ~5×10^7 pairs per band × 16 bands.
+    With the default guard the run completes quickly with exactly n-1
+    star pairs per sketch, and no aggregation row ever exceeds
+    O(bucket) ids (the quadratic never materializes)."""
+    n = 10_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("parked domain boilerplate page content for sale contact"
+              " owner today").alias("text"),
+    )
+    mh = D.minhash_lsh_candidates(df)  # default max_bucket_size=1024
+    got = mh.collect()
+    assert len(got) == n - 1
+    assert all(r["doc_a"] == 0 for r in got)  # star canon = min doc_id
+    sh = D.simhash_candidates(df)
+    got_s = sh.collect()
+    assert len(got_s) == n - 1
+    assert all(r["doc_a"] == 0 and r["hamming"] == 0 for r in got_s)
+
+
 # --- similarity ---------------------------------------------------------------
 
 
