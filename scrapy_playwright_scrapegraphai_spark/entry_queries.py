@@ -1459,7 +1459,26 @@ def q_knn_ivf(spark, sf):
     return S.knn_ivf(e, queries, k=5, num_cells=16, nprobe=4, refine_iters=1)
 
 
-SQL_KNN_IVF = """
+def q_knn_ivf_r2(spark, sf):
+    """TWO Lloyd iterations (refine_iters=2) — oracle-checks the
+    engine's iters>1 loop (incl. its localCheckpoint lineage truncation,
+    similarity.py:kmeans_refine_cells) end-to-end: the centroids are
+    integer-exact at every iteration, so DuckDB recomputes iteration 2
+    bit-for-bit (VERDICT r3 task #5)."""
+    e = _t(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.knn_ivf(e, queries, k=5, num_cells=16, nprobe=4, refine_iters=2)
+
+
+def _sql_knn_ivf(refine_iters: int) -> str:
+    """Build the IVF oracle for any number of Lloyd iterations by
+    chaining the per-iteration CTE block (assign → exact integer member
+    sums → floor-of-mean centroids → empty cells keep previous). The
+    engine's kmeans_refine_cells loop is the same recurrence, so
+    cent{N} here equals the engine codebook bit-for-bit at every N."""
+    head = """
 WITH v AS (
   SELECT vec_id AS vid,
          list_transform(embedding, x -> CAST(floor(x * 1000.0) AS BIGINT)) AS qv
@@ -1468,45 +1487,47 @@ WITH v AS (
   SELECT vid, qv, CAST(list_dot_product(qv, qv) AS BIGINT) AS nn FROM v
 ), cent0 AS (
   SELECT vid AS cell, qv AS cv, nn AS cn FROM n ORDER BY vid LIMIT 16
-), a0 AS (
-  -- Lloyd iteration 1: assign to the seed codebook...
+)"""
+    iter_block = """, a{IT} AS (
+  -- Lloyd iteration {IT}: assign to the previous codebook...
   SELECT vid, cell, qv FROM (
     SELECT n.vid, c.cell, n.qv,
            row_number() OVER (
              PARTITION BY n.vid
              ORDER BY (n.nn - 2 * CAST(list_dot_product(n.qv, c.cv) AS BIGINT)
                        + c.cn) ASC, c.cell ASC) AS r
-    FROM n CROSS JOIN cent0 c
+    FROM n CROSS JOIN cent{PREV} c
   ) WHERE r = 1
-), sums AS (
+), sums{IT} AS (
   -- ...exact integer member sums per dimension...
   SELECT cell, i.i AS i, SUM(qv[i.i]) AS s
-  FROM a0, unnest(generate_series(1, len(qv))) AS i(i)
+  FROM a{IT}, unnest(generate_series(1, len(qv))) AS i(i)
   GROUP BY cell, i.i
-), cnts AS (
-  SELECT cell, count(*) AS m FROM a0 GROUP BY cell
-), newc AS (
+), cnts{IT} AS (
+  SELECT cell, count(*) AS m FROM a{IT} GROUP BY cell
+), newc{IT} AS (
   -- ...centroid = element-wise floor of the member mean (exact ints
   -- through one IEEE division — matches Spark bit-for-bit)...
   SELECT s.cell,
          list(CAST(floor(s.s / c.m) AS BIGINT) ORDER BY s.i) AS cv
-  FROM sums s JOIN cnts c ON s.cell = c.cell
+  FROM sums{IT} s JOIN cnts{IT} c ON s.cell = c.cell
   GROUP BY s.cell
-), cent AS (
+), cent{IT} AS (
   -- ...empty cells keep their previous centroid
   SELECT c0.cell,
          COALESCE(nc.cv, c0.cv) AS cv,
          CAST(list_dot_product(COALESCE(nc.cv, c0.cv),
                                COALESCE(nc.cv, c0.cv)) AS BIGINT) AS cn
-  FROM cent0 c0 LEFT JOIN newc nc ON c0.cell = nc.cell
-), assign AS (
+  FROM cent{PREV} c0 LEFT JOIN newc{IT} nc ON c0.cell = nc.cell
+)"""
+    tail = """, assign AS (
   SELECT vid, cell, qv FROM (
     SELECT n.vid, c.cell, n.qv,
            row_number() OVER (
              PARTITION BY n.vid
              ORDER BY (n.nn - 2 * CAST(list_dot_product(n.qv, c.cv) AS BIGINT)
                        + c.cn) ASC, c.cell ASC) AS r
-    FROM n CROSS JOIN cent c
+    FROM n CROSS JOIN cent{FINAL} c
   ) WHERE r = 1
 ), q AS (
   SELECT vid AS query_id, qv, nn AS qn FROM n WHERE vid < 10
@@ -1517,7 +1538,7 @@ WITH v AS (
              PARTITION BY q.query_id
              ORDER BY (q.qn - 2 * CAST(list_dot_product(q.qv, c.cv) AS BIGINT)
                        + c.cn) ASC, c.cell ASC) AS r
-    FROM q CROSS JOIN cent c
+    FROM q CROSS JOIN cent{FINAL} c
   ) WHERE r <= 4
 ), scored AS (
   SELECT p.query_id, a.vid AS neighbor_id,
@@ -1531,6 +1552,17 @@ SELECT query_id, neighbor_id, dot, rank FROM (
   FROM scored
 ) WHERE rank <= 5
 """
+    parts = [head]
+    for it in range(1, refine_iters + 1):
+        parts.append(
+            iter_block.replace("{IT}", str(it)).replace("{PREV}", str(it - 1))
+        )
+    parts.append(tail.replace("{FINAL}", str(refine_iters)))
+    return "".join(parts)
+
+
+SQL_KNN_IVF = _sql_knn_ivf(1)
+SQL_KNN_IVF_R2 = _sql_knn_ivf(2)
 
 
 def q_knn_ivf_seed(spark, sf):
@@ -1700,6 +1732,7 @@ QUERIES = {
     "embedding_dup_pairs_gated": q_embedding_dup_pairs_gated,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
+    "knn_ivf_r2": q_knn_ivf_r2,
     "knn_ivf_seed": q_knn_ivf_seed,
     "text_tokens": q_text_tokens,
     "text_tokens_bpe": q_text_tokens_bpe,
@@ -1752,6 +1785,7 @@ ORACLE_SQL = {
     "embedding_dup_pairs_gated": _sql_embedding_dup_pairs_gated(),
     "knn_lsh": _sql_knn_lsh(),
     "knn_ivf": SQL_KNN_IVF,
+    "knn_ivf_r2": SQL_KNN_IVF_R2,
     "knn_ivf_seed": SQL_KNN_IVF_SEED,
     "text_tokens": SQL_TEXT_TOKENS,
     "text_tokens_bpe": SQL_TEXT_TOKENS_BPE,
