@@ -145,6 +145,11 @@ class CrawlEngine:
         # in-flight background bloom merges: (thread, {"err": ...}) pairs;
         # joined before the next probe (see _flush_bloom_pending)
         self._bloom_pending: list = []
+        # in-flight background snapshot write (at most one): joined before
+        # the next step's write / the terminal meta update, where its
+        # manifest is folded into the bookkeeping and the step's caches
+        # released — see the _flush_write closure in run()
+        self._write_pending: tuple | None = None
         # the point-lookup fetch path pushes an In(url, [...]) predicate
         # with up to lookup_pushdown_threshold values into the parquet
         # scan; Spark only forwards exact In filters up to this conf
@@ -250,8 +255,9 @@ class CrawlEngine:
         ``cached_df`` lets the merge aggregate over the still-cached
         new_rows DataFrame instead of re-reading the committed parquet
         (one cache scan instead of a cold scan — the merge finishes
-        sooner, shrinking the next superstep's flush wait); the thread
-        unpersists it when done. Falls back to ``path`` on any error via
+        sooner, shrinking the next superstep's flush wait); the cache is
+        released later by the write flush (the concurrent snapshot write
+        scans the same cache). Falls back to ``path`` on any error via
         the pending-state re-raise."""
         import threading
 
@@ -264,8 +270,6 @@ class CrawlEngine:
                 )
                 bloom.add_df(src.select("url"))
                 bloom.save(self._bloom_path(), step)
-                if cached_df is not None:
-                    cached_df.unpersist()
             except BaseException as e:  # noqa: BLE001 — must not lose it
                 state["err"] = e
 
@@ -461,6 +465,28 @@ class CrawlEngine:
                   file=sys.stderr)
         steps_run = 0
 
+        def _flush_write():
+            """Join the in-flight background snapshot write (if any),
+            re-raise its error, fold its committed manifest into the
+            bookkeeping lists, and release the step's caches. Called
+            before the next step's write, before the terminal meta
+            update, and after the loop — the points where the commit
+            ordering (manifest k before k+1 / before 'done') and the
+            cache lifetimes must be settled."""
+            if self._write_pending is None:
+                return
+            wt, wstate, wstep, wcommit, caches = self._write_pending
+            self._write_pending = None
+            wt.join()
+            if "err" in wstate:
+                raise wstate["err"]
+            metrics_rows.append(wcommit["metrics_row"])
+            tables = self.store.read_manifest(wstep)["tables"]
+            lineage_paths.append(tables["lineage"])
+            text_paths.append(tables["page_text"])
+            for df in caches:
+                df.unpersist()
+
         def _mkphase():
             state = {"last": time.monotonic(), "acc": {}}
 
@@ -485,6 +511,7 @@ class CrawlEngine:
             _pstate, _mark = _mkphase()
             work = frontier.filter(_work_pred)
             if n_pending == 0:
+                _flush_write()  # manifest of the last step must exist
                 done_meta = dict(self.store.read_manifest(step)["meta"])
                 done_meta.update({"next_seq": next_seq, "done": True})
                 self.store.update_meta(step, done_meta)
@@ -536,6 +563,18 @@ class CrawlEngine:
             denied = tagged.filter(F.col("_disposition") == "denied").drop(
                 "_disposition"
             )
+            # fill the politeness cache on a background thread: the rank
+            # subtree (window + cache + Observation) would otherwise
+            # evaluate serially inside the parse barrier as the broadcast
+            # build of the admitted side; overlapping it with the In-list
+            # collect and plan building below shaves its latency off the
+            # barrier's critical path. Errors surface through the barrier
+            # itself (it evaluates the same cached plan).
+            import threading
+
+            threading.Thread(
+                target=lambda df=tagged: df.count(), daemon=True
+            ).start()
             _mark("politeness")
 
             # J3: fetch join — admitted batch is politeness-bounded → broadcast
@@ -559,11 +598,26 @@ class CrawlEngine:
             # the difference between a seed superstep touching 50 rows and
             # a full-corpus scan. Large batches keep the streaming scan.
             if 0 < n_pending <= cfg.lookup_pushdown_threshold:
+                # the In list is the PENDING url set — a politeness-
+                # bounded superset of the admitted batch (this branch is
+                # gated on n_pending, so the list stays ≤ threshold).
+                # Collecting it from the checkpointed frontier is a
+                # narrow scan with no shuffle, so the politeness-rank
+                # plan's first evaluation rides the parse barrier instead
+                # of paying a dedicated driver round-trip here; the
+                # admitted join below filters any deferred/denied rows
+                # the scan decoded.
                 batch_urls = [
-                    r["url"] for r in admitted.select("url").collect()
+                    r["url"] for r in work.select("url").collect()
                 ]
                 page_content = page_content.filter(
                     F.col("url").isin(batch_urls)
+                ).coalesce(
+                    # the pruned point-lookup matches a handful of row
+                    # groups; without this the scan inherits the full
+                    # corpus split fan-out (~size/maxPartitionBytes
+                    # dispatch-only tasks for a politeness-small batch)
+                    max(8, spark.sparkContext.defaultParallelism)
                 )
             # broadcast the admitted batch only while it is plausibly
             # broadcast-sized; a multi-million-row admitted wave on a big
@@ -637,12 +691,7 @@ class CrawlEngine:
                 mode=seq_mode,
                 key_bound=next_seq,  # every parent_seq < current next_seq
             )
-            obs_new = Observation(f"new_{step}")
-            new_rows = (
-                finalize_new_rows(new, step)
-                .observe(obs_new, F.count(F.lit(1)).alias("n_new"))
-                .cache()
-            )
+            new_rows = finalize_new_rows(new, step).cache()
             _mark("expand_dedup_seq")
 
             # state transitions (F9 CASE semantics, queries.sql:66-74):
@@ -720,7 +769,7 @@ class CrawlEngine:
             # state-transition rows + new frontier rows + lineage hit disk;
             # write cost is O(delta), never O(frontier). The per-step
             # metrics row rides in the manifest meta — built lazily AFTER
-            # the table writes so n_new can come off the new_rows
+            # the table writes so n_new can come off the frontier-advance
             # Observation instead of a dedicated count job.
             # K2: per-fetched-page text (north-rule invariant) — already
             # extracted in the fused parse pass; this is a cache scan.
@@ -734,12 +783,42 @@ class CrawlEngine:
             if n_pending <= cfg.lookup_pushdown_threshold:
                 page_text = page_text.coalesce(1)
             commit: dict = {}
+            # advance-thread result cell + completion event, created HERE
+            # so _commit_meta can capture THIS step's instances as default
+            # args (the names are rebound every iteration)
+            adv: dict = {}
+            adv_done = threading.Event()
 
-            def _commit_meta() -> dict:
-                n_new = obs_new.get["n_new"] or 0
+            # every enclosing-scope name is captured as a DEFAULT ARG:
+            # this callable runs on the background write thread, possibly
+            # after the main loop has rebound step/next_seq/t0/counters
+            # for the next iteration — a closure reference would commit
+            # the wrong step number and a double-counted next_seq into
+            # the manifest (breaking resume)
+            def _commit_meta(step=step, n_work=n_work, n_admitted=n_admitted,
+                             n_denied=n_denied, n_ok=n_ok, n_failed=n_failed,
+                             next_seq=next_seq, t0=t0,
+                             commit=commit, adv=adv,
+                             adv_done=adv_done) -> dict:
+                # n_new comes from the frontier-advance Observation — the
+                # union OUTPUT node, which always executes (an Observation
+                # riding the new_rows subtree itself can be skipped when
+                # the cache was filled by another job or the empty branch
+                # was pruned). The manifest commit therefore waits for the
+                # advance; its table writes have already overlapped it.
+                adv_done.wait()
+                if "n_new" not in adv:
+                    raise RuntimeError(
+                        "frontier advance failed before snapshot commit"
+                    )
+                n_new = adv["n_new"]
                 row = (
                     step, n_work, n_admitted, n_denied,
                     n_work - n_admitted - n_denied, n_ok, n_failed, n_new,
+                    # wall from step start to snapshot commit — with the
+                    # async write this includes the overlap into the next
+                    # superstep (the critical-path phase split is the
+                    # SPARK_GRAFT_PROFILE output)
                     time.monotonic() - t0,
                 )
                 commit["n_new"] = n_new
@@ -761,8 +840,6 @@ class CrawlEngine:
             # this job as an Observation.
             import threading
 
-            adv: dict = {}
-
             def _advance():
                 try:
                     obs_adv = Observation(f"advance_{step}")
@@ -779,42 +856,81 @@ class CrawlEngine:
                             F.sum(F.when(_work_pred, 1).otherwise(0)).alias(
                                 "n_pending"
                             ),
+                            # this step's new rows carry superstep == step
+                            # (roots are 0, old rows keep theirs), so the
+                            # advance reports n_new from the union OUTPUT
+                            # node — reliable even when the new_rows
+                            # branch is empty/pruned or its cache was
+                            # filled by a different job (an Observation
+                            # on the new_rows subtree itself can then
+                            # never resolve)
+                            F.sum(
+                                F.when(F.col("superstep") == step, 1)
+                                .otherwise(0)
+                            ).alias("n_new"),
                         )
                         .localCheckpoint(eager=True)
                     )
                     adv["frontier"] = fr
-                    adv["n_pending"] = obs_adv.get["n_pending"] or 0
+                    vals = obs_adv.get
+                    adv["n_pending"] = vals["n_pending"] or 0
+                    adv["n_new"] = vals["n_new"] or 0
                 except BaseException as e:  # noqa: BLE001 — re-raised below
                     adv["err"] = e
+                finally:
+                    adv_done.set()  # unblock _commit_meta either way
 
             adv_t = threading.Thread(target=_advance, daemon=True)
             adv_t.start()
-            self.store.write_step(
-                step,
-                {
-                    "updates": updates.coalesce(
-                        1 if n_pending <= cfg.lookup_pushdown_threshold else 8
-                    ),
-                    "new_rows": new_rows,
-                    "lineage": step_lineage.coalesce(1),
-                    "page_text": page_text,
-                },
-                _commit_meta,
-            )
+            # the snapshot write ALSO runs off the main thread: step k's
+            # commit needs to finish only before step k+1's commit (or
+            # the terminal meta update) — enforced by _flush_write below
+            # — so its wall time overlaps the frontier advance AND the
+            # whole of step k+1's politeness/fetch/parse barrier instead
+            # of sitting on the critical path (the seed superstep's
+            # write was ~30% of its fixed cost). Kill-safety unchanged:
+            # a crash while step k's write is in flight loses step k
+            # only; resume folds the committed deltas ≤ k-1.
+            wr_state: dict = {}
+            write_tables = {
+                "updates": updates.coalesce(
+                    1 if n_pending <= cfg.lookup_pushdown_threshold else 8
+                ),
+                "new_rows": new_rows,
+                "lineage": step_lineage.coalesce(1),
+                "page_text": page_text,
+            }
+
+            def _write(tables=write_tables, meta=_commit_meta, k=step):
+                try:
+                    self.store.write_step(k, tables, meta)
+                except BaseException as e:  # noqa: BLE001 — re-raised at flush
+                    wr_state["err"] = e
+
+            _flush_write()  # commit ordering: step k-1's manifest first
+            wr_t = threading.Thread(target=_write, daemon=True)
+            # a politeness-small step's write is a few mini-jobs while its
+            # advance is the critical path — let the advance run the
+            # cluster uncontended and start the write after it (it still
+            # overlaps the whole next superstep). A big wave's write is
+            # heavy (page_text fan-out), so there it starts immediately
+            # and overlaps the advance as well.
+            small_step = n_pending <= cfg.lookup_pushdown_threshold
+            if not small_step:
+                wr_t.start()
             _mark("state_write")
-            n_new = commit["n_new"]
-            next_seq += n_new
-            metrics_rows.append(commit["metrics_row"])
-            tables = self.store.read_manifest(step)["tables"]
-            lineage_paths.append(tables["lineage"])
-            text_paths.append(tables["page_text"])
             adv_t.join()
+            if small_step:
+                wr_t.start()
             if "err" in adv:
+                wr_t.join()  # settle the write before unwinding
                 raise adv["err"]
             frontier = adv["frontier"]
             n_pending = adv["n_pending"]
+            n_new = adv["n_new"]
+            next_seq += n_new
             # bloom deltas for this step's new rows merge in the
-            # background from the just-committed new_rows parquet;
+            # background from the still-cached new_rows;
             # _flush_bloom_pending joins before the next probe. When the
             # advance just showed the frontier is DRAINED (n_pending == 0)
             # the next iteration terminates without probing, so the merge
@@ -823,16 +939,16 @@ class CrawlEngine:
             # committed new_rows delta anyway, and on a short final wave
             # the terminal join below would otherwise stall the whole
             # run's tail on a merge nobody reads.
-            merge_owns_new_rows = bloom is not None and n_new and n_pending > 0
-            if merge_owns_new_rows:
+            if bloom is not None and n_new and n_pending > 0:
                 self._start_bloom_merge(
-                    spark, bloom, tables["new_rows"], step,
-                    cached_df=new_rows,
+                    spark, bloom, None, step, cached_df=new_rows,
                 )
-            for df in (tagged, parsed) + (
-                () if merge_owns_new_rows else (new_rows,)
-            ):
-                df.unpersist()
+            # caches stay alive until the write flush (the write scans
+            # parsed for updates/lineage/page_text and new_rows for the
+            # table write; the bloom merge scans new_rows too)
+            self._write_pending = (
+                wr_t, wr_state, step, commit, (tagged, parsed, new_rows),
+            )
             _mark("advance")
             if cfg.profile:
                 phases = " ".join(
@@ -840,6 +956,9 @@ class CrawlEngine:
                 )
                 print(f"[profile] step {step}: {phases}", file=sys.stderr)
 
+        # settle any write still in flight (max_supersteps exit path — the
+        # n_pending==0 branch already flushed) before joining bloom merges
+        _flush_write()
         # join any background bloom merge started on the final iteration so
         # its Spark jobs are not still running during spark.stop(); merge
         # errors are swallowed on this terminal path — the bloom is rebuilt

@@ -100,6 +100,7 @@ def test_no_nested_loop_outside_designated_verifiers(spark):
         "embedding_dup_pairs",   # cosine_dup_pairs_exact_smallscale
         "knn_bruteforce",        # exact cross-join baseline by design
         "knn_ivf",               # tiny 16-row codebook cross join only
+        "knn_ivf_r2",            # same codebook cross join, 2 iterations
         "knn_ivf_seed",          # same codebook cross join, seed baseline
         "duration_epoch",        # 1-row min aggregate cross join (scalar)
         "table_counts",          # 1-row × 1-row count joins
