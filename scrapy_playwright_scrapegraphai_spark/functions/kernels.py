@@ -171,6 +171,107 @@ def _parse_page(html) -> _PageParser:
     return parser
 
 
+# ---------------------------------------------------------------------------
+# Gated fast scanner — C-level regex passes for "simple" documents
+# ---------------------------------------------------------------------------
+#
+# ``html.parser.HTMLParser`` costs ~2.2 ms on a typical 13 KB crawl page
+# (~70% of the whole per-page kernel), almost all of it Python-level
+# per-token dispatch. The scanner below replaces it with whole-document
+# C-level regex passes for documents it can PROVE are unambiguous, and
+# falls back to the HTMLParser path (the source of truth) otherwise.
+#
+# Safety argument — the fast path runs only when ALL of these hold:
+#   1. no '&'  → convert_charrefs is a no-op (no entities anywhere, text
+#      or attribute values), so raw slices equal HTMLParser data;
+#   2. no '<!', '<?'  → no comments / doctype / PIs / CDATA sections;
+#   3. no '<script', '<style'  → no CDATA-content elements, so no
+#      text is suppressed and no raw-text scanning mode exists
+#      (uppercase variants are excluded by the grammar in 4);
+#   4. the WHOLE document matches _SIMPLE_DOC: text runs without '<'/'&'
+#      alternating with tags of the exact shape
+#          </name>  |  <name( attr | attr="value")* /?>
+#      with lowercase names and double-quoted values containing no
+#      '<', '>', '"' or '&'. Under this grammar every '<' opens a tag
+#      that ends at the first following '>', so `_TAG` tokenizes the
+#      document exactly as HTMLParser's goahead loop does, and
+#      HTMLParser's tolerant attribute regex parses each attr string to
+#      the same (name, value) pairs as `_ATTR`;
+#   5. no 'modal'  → no <div class="... modal ..."> can exist, so the
+#      modal re-emission list is provably empty.
+# Every condition is a single C-level scan. Equivalence with the
+# HTMLParser path is additionally property-tested (hypothesis fuzz in
+# tests/test_kernels.py) — the gate is belt, the tests are suspenders.
+# NOTE: whitespace inside tags is the explicit ASCII class [ \t\n\r\f],
+# NOT \s — Python's \s also matches \v and Unicode spaces, which
+# HTMLParser's tokenizer treats as part of the tag/attr NAME, so a \s
+# grammar would fast-path documents the slow path parses differently
+# (e.g. <a\vhref="x"> is an anchor named 'a\vhref="x"' to HTMLParser).
+_WS = r"[ \t\n\r\f]"
+_SIMPLE_DOC = re.compile(
+    r"(?:[^<&]*<(?:"
+    rf"/[a-z][a-z0-9]*{_WS}*"
+    rf"|[a-z][a-z0-9]*(?:{_WS}+[a-z][a-z0-9-]*(?:=\"[^\"<>&]*\")?)*{_WS}*/?"
+    r")>)*[^<&]*\Z"
+)
+_TAG = re.compile(r"<[^>]*>")
+_ANCHOR_COUNT = re.compile(r"<a[ \t\n\r\f/>]")
+# href as the FIRST attribute with a non-empty value — the overwhelmingly
+# common anchor shape; one findall extracts every such href
+_AHREF_FIRST = re.compile(rf"<a{_WS}+href=\"([^\"]+)\"[^>]*>")
+_ATTR = re.compile(r"([a-z][a-z0-9-]*)(?:=\"([^\"]*)\")?")
+
+
+def _fast_parse(s: str):
+    """``(hrefs, text_chunks)`` for a gate-passing document, else None.
+
+    hrefs contains only non-empty values (HTMLParser's raw list may hold
+    empty strings, but every consumer filters falsy hrefs, so the public
+    kernels are byte-identical either way).
+    """
+    if (
+        "&" in s
+        or "<!" in s
+        or "<?" in s
+        or "<script" in s
+        or "<style" in s
+        or "modal" in s
+        or _SIMPLE_DOC.fullmatch(s) is None
+    ):
+        return None
+    texts = [c for c in map(str.strip, _TAG.split(s)) if c]
+    hrefs = _AHREF_FIRST.findall(s)
+    if len(hrefs) != len(_ANCHOR_COUNT.findall(s)):
+        # uncommon anchor shapes (href not first / valueless / bare <a>):
+        # exact per-anchor pass with HTML5 first-attribute-wins
+        hrefs = []
+        for m in _TAG.finditer(s):
+            st = m.start()
+            if s[st + 1] == "a" and s[st + 2] in " \t\n\r\f/>":
+                body = m.group(0)
+                for am in _ATTR.finditer(body, 2, len(body) - 1):
+                    if am.group(1) == "href":
+                        v = am.group(2)
+                        if v:
+                            hrefs.append(v)
+                        break
+    return hrefs, texts
+
+
+def _parse_doc(html) -> tuple:
+    """``(hrefs, modal_hrefs, text_chunks)`` — fast path when provably
+    safe, HTMLParser otherwise. The single entry point for the public
+    HTML kernels below."""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    r = _fast_parse(html)
+    if r is not None:
+        hrefs, texts = r
+        return hrefs, (), texts
+    p = _parse_page(html)
+    return p.hrefs, p.modal_hrefs, p.text_chunks
+
+
 # hrefs that urljoin may REWRITE rather than concatenate: dot path
 # segments ('/.', '/..'), any params/query/fragment separator (urlparse
 # drops EMPTY trailing components — '/x?' → '/x' — so all of ';?#' is
@@ -220,10 +321,10 @@ def extract_links(html, base_url: str) -> list[str]:
     re-collects ``.modal.show a`` and *extends* the list — hence the
     second (duplicate) emission of modal anchors.
     """
-    p = _parse_page(html)
+    hrefs, modal_hrefs, _texts = _parse_doc(html)
     resolve = _make_resolver(base_url)
-    links = [resolve(u) for u in p.hrefs if u]
-    links.extend(resolve(u) for u in p.modal_hrefs if u)
+    links = [resolve(u) for u in hrefs if u]
+    links.extend(resolve(u) for u in modal_hrefs if u)
     return links
 
 
@@ -231,15 +332,15 @@ def parse_page(html, base_url: str) -> tuple[list[str], str]:
     """One-pass fused parse: ``(links, text)``.
 
     Contract: ``links == extract_links(html, base_url)`` and
-    ``text == extract_text(html)`` — same parser class, parsed ONCE
-    (the separate kernels each run their own HTMLParser pass; the
-    engine's hot path calls this instead).
+    ``text == extract_text(html)`` — same parse, run ONCE (the separate
+    kernels each run their own document pass; the engine's hot path
+    calls this instead).
     """
-    p = _parse_page(html)
+    hrefs, modal_hrefs, texts = _parse_doc(html)
     resolve = _make_resolver(base_url)
-    links = [resolve(u) for u in p.hrefs if u]
-    links.extend(resolve(u) for u in p.modal_hrefs if u)
-    return links, "\n".join(p.text_chunks)
+    links = [resolve(u) for u in hrefs if u]
+    links.extend(resolve(u) for u in modal_hrefs if u)
+    return links, "\n".join(texts)
 
 
 def extract_text(html) -> str:
@@ -251,7 +352,7 @@ def extract_text(html) -> str:
     single-process oracle imports THIS function — byte parity by
     construction.
     """
-    return "\n".join(_parse_page(html).text_chunks)
+    return "\n".join(_parse_doc(html)[2])
 
 
 # ---------------------------------------------------------------------------
@@ -273,14 +374,25 @@ class ClassifiedLink:
 # urllib's own parse cache holds only 20 entries — useless at this fanout.
 _is_valid_url_cached = lru_cache(maxsize=1 << 16)(is_valid_url)
 
+# memoized pattern match: pure function of (url, patterns); crawl link
+# sets repeat heavily within a worker and classify matches every link
+# against the same pattern tuple twice (target pass + seed pass), so
+# cache hits replace a lowercase+substring scan per link. Exceptions
+# (invalid regex) are NOT cached by lru_cache — they re-raise on every
+# call, preserving the reference's abort-this-page-at-this-link behavior.
+@lru_cache(maxsize=1 << 16)
+def _matches_cached(url: str, patterns: tuple) -> bool:
+    return matches_pattern(url, patterns)
+
 
 def _target_links(links, target_patterns, current_depth) -> list[tuple[str, int]]:
     """crawl_manager_utils.py:88-106 — valid + matches target_patterns."""
     out = []
+    pats = tuple(target_patterns)
     for link in links:
         if not _is_valid_url_cached(link):
             continue
-        if matches_pattern(link, target_patterns):
+        if _matches_cached(link, pats):
             out.append((link, current_depth))
     return out
 
@@ -288,10 +400,11 @@ def _target_links(links, target_patterns, current_depth) -> list[tuple[str, int]
 def _seed_links(links, seed_pattern, current_depth) -> list[tuple[str, int]]:
     """crawl_manager_utils.py:108-125 — valid + matches [seed_pattern]."""
     out = []
+    pats = (seed_pattern,)
     for link in links:
         if not _is_valid_url_cached(link):
             continue
-        if seed_pattern and matches_pattern(link, [seed_pattern]):
+        if seed_pattern and _matches_cached(link, pats):
             out.append((link, current_depth + 1))
     return out
 

@@ -731,6 +731,11 @@ class CrawlEngine:
                         F.lit(0).alias("_attempt_inc"),
                     )
                 )
+                # cached: the snapshot write (updates table) and the
+                # frontier advance (MERGE join build side) each scan this
+                # delta from concurrent threads — without the cache both
+                # recompute the parsed-cache scans + failed anti-join
+                .cache()
             )
             # S6/A4: per-partition lineage + per-superstep metrics. The
             # per-page item counts were computed INSIDE the fused parse
@@ -875,6 +880,24 @@ class CrawlEngine:
                     vals = obs_adv.get
                     adv["n_pending"] = vals["n_pending"] or 0
                     adv["n_new"] = vals["n_new"] or 0
+                    # start this step's bloom merge HERE, on the advance
+                    # thread, the moment the new_rows cache is known hot —
+                    # it then overlaps the next superstep's politeness/
+                    # fetch/plan building instead of starting only after
+                    # the main thread joins the advance, which left the
+                    # next step's pre-probe flush waiting the merge's
+                    # whole duration. Skip when the frontier just drained
+                    # (n_pending==0): the next iteration terminates
+                    # without probing, and resume tops the persisted
+                    # shards up from the committed delta anyway.
+                    if (
+                        bloom is not None
+                        and adv["n_new"]
+                        and adv["n_pending"] > 0
+                    ):
+                        self._start_bloom_merge(
+                            spark, bloom, None, step, cached_df=new_rows
+                        )
                 except BaseException as e:  # noqa: BLE001 — re-raised below
                     adv["err"] = e
                 finally:
@@ -929,25 +952,16 @@ class CrawlEngine:
             n_pending = adv["n_pending"]
             n_new = adv["n_new"]
             next_seq += n_new
-            # bloom deltas for this step's new rows merge in the
-            # background from the still-cached new_rows;
-            # _flush_bloom_pending joins before the next probe. When the
-            # advance just showed the frontier is DRAINED (n_pending == 0)
-            # the next iteration terminates without probing, so the merge
-            # would only update the persisted shard file — skip it: the
-            # resume path tops the loaded bloom up from this step's
-            # committed new_rows delta anyway, and on a short final wave
-            # the terminal join below would otherwise stall the whole
-            # run's tail on a merge nobody reads.
-            if bloom is not None and n_new and n_pending > 0:
-                self._start_bloom_merge(
-                    spark, bloom, None, step, cached_df=new_rows,
-                )
+            # (this step's bloom merge was already started by the advance
+            # thread itself — see _advance — so it overlaps the next
+            # superstep's plan building; _flush_bloom_pending joins it
+            # before the next probe)
             # caches stay alive until the write flush (the write scans
             # parsed for updates/lineage/page_text and new_rows for the
             # table write; the bloom merge scans new_rows too)
             self._write_pending = (
-                wr_t, wr_state, step, commit, (tagged, parsed, new_rows),
+                wr_t, wr_state, step, commit,
+                (tagged, parsed, new_rows, updates),
             )
             _mark("advance")
             if cfg.profile:

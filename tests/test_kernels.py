@@ -341,3 +341,129 @@ def test_extract_links_duplicate_attribute_first_wins():
              b'<a href="/m">m</a></div></body></html>')
     links = K.extract_links(html2, "https://h.t/")
     assert links == ["https://h.t/m", "https://h.t/m"]  # modal double-emission
+
+
+# --- gated fast scanner ≡ HTMLParser path (kernels._fast_parse) ---------------
+#
+# The fast path must be byte-identical to the HTMLParser path on every
+# document it accepts; docs it rejects fall back, so the public kernels
+# are correct either way. These tests compare the PUBLIC kernels against
+# the slow path computed directly, plus assert gate behavior.
+
+def _slow_reference(html, base):
+    p = K._parse_page(html)
+    resolve = K._make_resolver(base)
+    links = [resolve(u) for u in p.hrefs if u]
+    links.extend(resolve(u) for u in p.modal_hrefs if u)
+    return links, "\n".join(p.text_chunks)
+
+
+def _assert_public_equals_slow(html, base="https://h.t/dir/x"):
+    exp_links, exp_text = _slow_reference(html, base)
+    links, text = K.parse_page(html, base)
+    assert links == exp_links
+    assert text == exp_text
+    assert K.extract_links(html, base) == exp_links
+    assert K.extract_text(html) == exp_text
+
+
+def test_fast_path_taken_on_simple_doc():
+    s = '<html><body><p>hi there</p><a href="/x">x</a></body></html>'
+    assert K._fast_parse(s) is not None
+    _assert_public_equals_slow(s)
+
+
+@pytest.mark.parametrize(
+    "doc",
+    [
+        # each must be REJECTED by the gate (entities / comments / script /
+        # style / modal / uppercase / single quotes / unquoted values /
+        # stray '<' / vertical tab in tag) and parsed by the slow path
+        '<p>a &amp; b</p><a href="/x?a=1&b=2">x</a>',
+        "<!DOCTYPE html><p>t</p>",
+        "<!-- c --><a href=\"/x\">x</a>",
+        "<script>var a = '<a href=\"/no\">';</script><a href=\"/yes\">y</a>",
+        "<style>a{color:red}</style><p>t</p>",
+        '<div class="modal"><a href="/m">m</a></div><a href="/x">x</a>',
+        '<A HREF="/x">x</A>',
+        "<a href='/single'>s</a>",
+        "<a href=/unquoted>u</a>",
+        "<p>1 < 2</p>",
+        '<a\vhref="/x">v</a>',
+        '<a href="/x">nb</a>',
+        '<a data:weird="1" href="/x">x</a>',
+        '<my-tag><a href="/x">x</a></my-tag>',
+    ],
+)
+def test_gate_rejects_and_slow_path_agrees(doc):
+    assert K._fast_parse(doc) is None
+    _assert_public_equals_slow(doc)
+
+
+@pytest.mark.parametrize(
+    "doc,want_hrefs",
+    [
+        # accepted by the gate; anchor-shape corner cases must match
+        # HTML5/HTMLParser semantics exactly
+        ('<a href="/a" href="/b">x</a>', ["/a"]),          # first wins
+        ('<a href>x</a>', []),                              # valueless
+        ('<a href="">x</a>', []),                           # empty value
+        ("<a>x</a>", []),                                   # no attrs
+        ('<a/>', []),                                       # self-closing bare
+        ('<a href="/sc"/>', ["/sc"]),                       # self-closing
+        ('<a class="k" href="/late">x</a>', ["/late"]),     # href not first
+        ('<a\nhref="/nl">x</a>', ["/nl"]),                  # newline ws
+        ('<abbr href="/not-anchor">x</abbr>', []),          # tag prefix 'a'
+        ('<a2 href="/not-anchor">x</a2>', []),              # tag 'a2'
+    ],
+)
+def test_fast_path_anchor_corners(doc, want_hrefs):
+    r = K._fast_parse(doc)
+    assert r is not None, "expected fast path"
+    assert r[0] == want_hrefs
+    _assert_public_equals_slow(doc)
+
+
+_TEXT_ALPHA = st.text(
+    alphabet="ab >/\"'=\t\n.", max_size=12  # no & or < (gate-safe text)
+)
+_FRAGMENTS = st.one_of(
+    _TEXT_ALPHA,
+    st.just("<p>"),
+    st.just("</p>"),
+    st.just("<br/>"),
+    st.just('<a href="/x/y">'),
+    st.just('<a href="">'),
+    st.just("<a href>"),
+    st.just("<a>"),
+    st.just("</a>"),
+    st.just('<a class="c" href="/q">'),
+    st.just('<a href="/a" href="/b">'),
+    st.just('<div class="x">'),
+    st.just("</div>"),
+    # gate-rejected fragments — exercise the fallback inside mixed docs
+    st.just("&amp;"),
+    st.just("<!-- x -->"),
+    st.just("<script>z</script>"),
+    st.just('<div class="modal">'),
+    st.just("<A>"),
+    st.just("<a href='/s'>"),
+    st.just("<"),
+    st.just(">"),
+)
+
+
+@given(st.lists(_FRAGMENTS, max_size=20))
+def test_fast_parser_parity_fuzz_structured(frags):
+    doc = "".join(frags)
+    _assert_public_equals_slow(doc)
+
+
+@given(st.text(alphabet='<>&"=/abp \t\n!?-', max_size=60))
+def test_fast_parser_parity_fuzz_soup(s):
+    _assert_public_equals_slow(s)
+
+
+@given(st.binary(max_size=200))
+def test_fast_parser_parity_fuzz_bytes(b):
+    _assert_public_equals_slow(b)
