@@ -108,9 +108,14 @@ def make_spark(cores: int, app: str):
         # pin JVM GC parallelism to the simulated cluster size — otherwise
         # G1 uses all 32 machine threads and quietly subsidizes the
         # low-core run, skewing the scaling ratio
+        # -Xms = -Xmx: G1 sizes regions for the full heap from the start,
+        # so the timed crawl doesn't pay growth-driven full GCs mid-leg
+        # (measured: the first crawl in a fresh JVM ran ~16 s slower than
+        # the second purely on heap-growth + codegen warm-up; the plan
+        # warm-up crawl can't absorb heap growth because it's data-sized)
         .config(
             "spark.driver.extraJavaOptions",
-            f"-XX:ParallelGCThreads={cores} "
+            f"-Xms48g -XX:ParallelGCThreads={cores} "
             f"-XX:ConcGCThreads={max(1, cores // 4)}",
         )
         .config("spark.local.dir", f"{BENCH_TMP}/sps_spark_local")
