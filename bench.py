@@ -97,6 +97,13 @@ HEADLINE = [
 def make_spark(cores: int, app: str):
     from pyspark.sql import SparkSession
 
+    # SPARK_GRAFT_EVENTLOG=1: write the Spark event log (job/stage/task
+    # timings) for offline critical-path analysis — diagnostics only,
+    # never on during a measured bench run
+    evlog = os.environ.get("SPARK_GRAFT_EVENTLOG", "") == "1"
+    if evlog:
+        os.makedirs(f"{BENCH_TMP}/sps_eventlog", exist_ok=True)
+
     # This sandbox dispatches tasks at ~25 ms each (serialized on the
     # driver), so task COUNT is the dominant fixed cost at small scale.
     # parallelismFirst=false lets AQE coalesce post-shuffle partitions by
@@ -141,6 +148,8 @@ def make_spark(cores: int, app: str):
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.eventLog.enabled", str(evlog).lower())
+        .config("spark.eventLog.dir", f"file://{BENCH_TMP}/sps_eventlog")
         .getOrCreate()
     )
 

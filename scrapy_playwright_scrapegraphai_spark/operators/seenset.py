@@ -41,6 +41,37 @@ def _bit_positions(url: str, m_bits: int, k: int) -> list[int]:
     return [((h1 + i * h2) % m_bits) for i in range(k)]
 
 
+def _positions_matrix(urls, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) bit positions, bit-identical to ``_bit_positions`` per row.
+
+    One blake2b per URL is the only per-row Python work; the double-hash
+    position arithmetic is vectorized. uint64 wraparound would diverge
+    from Python's arbitrary-precision ``(h1 + i*h2) % m`` (h1 + 7*h2 can
+    exceed 2^64), so both hashes are reduced mod m FIRST — algebraically
+    identical, and ``h1%m + i*(h2%m)`` stays < 8*m ≪ 2^64 for any
+    realistic shard size. Equivalence is asserted in tests.
+    """
+    if len(urls) == 0:
+        return np.empty((0, k), dtype=np.uint64)
+    buf = b"".join(
+        hashlib.blake2b(u.encode("utf-8"), digest_size=16).digest()
+        for u in urls
+    )
+    h = np.frombuffer(buf, dtype="<u8").reshape(-1, 2)
+    m = np.uint64(m_bits)
+    h1m = h[:, 0:1] % m
+    h2m = (h[:, 1:2] | np.uint64(1)) % m
+    i = np.arange(k, dtype=np.uint64)
+    return (h1m + i * h2m) % m
+
+
+def _byte_and_mask(pos: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Split a position matrix into (byte index int64, uint8 bit mask)."""
+    byte_idx = (pos >> np.uint64(3)).astype(np.int64)
+    mask = np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)
+    return byte_idx, mask
+
+
 class BloomShards:
     """P independent bloom bitmaps keyed by pmod(xxhash64(url), P)."""
 
@@ -89,9 +120,12 @@ class BloomShards:
 
         def _build(pdf: pd.DataFrame) -> pd.DataFrame:
             bm = np.zeros(nbytes, dtype=np.uint8)
-            for url in pdf["u"]:
-                for pos in _bit_positions(url, bits, k):
-                    bm[pos >> 3] |= 1 << (pos & 7)
+            byte_idx, mask = _byte_and_mask(
+                _positions_matrix(pdf["u"].tolist(), bits, k)
+            )
+            # unbuffered |= — duplicate byte indices within the batch must
+            # all land (plain fancy-index assignment would keep only one)
+            np.bitwise_or.at(bm, byte_idx.ravel(), mask.ravel())
             return pd.DataFrame(
                 {"shard": [int(pdf["s"].iloc[0])], "blob": [bm.tobytes()]}
             )
@@ -123,19 +157,20 @@ class BloomShards:
         bits, k, num_shards = self.bits, self.k, self.num_shards
 
         def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            maps = [np.frombuffer(b, dtype=np.uint8) for b in bc.value]
+            # all shards share one nbytes; flatten to a single array so the
+            # per-row shard lookup is one vectorized offset add
+            maps = np.concatenate(
+                [np.frombuffer(b, dtype=np.uint8) for b in bc.value]
+            )
+            nbytes = len(bc.value[0])
             for pdf in batches:
-                out = []
-                for url, shard in zip(pdf["_u"], pdf["_s"]):
-                    bm = maps[shard]
-                    out.append(
-                        all(
-                            bm[p >> 3] & (1 << (p & 7))
-                            for p in _bit_positions(url, bits, k)
-                        )
-                    )
+                byte_idx, mask = _byte_and_mask(
+                    _positions_matrix(pdf["_u"].tolist(), bits, k)
+                )
+                base = pdf["_s"].to_numpy().astype(np.int64) * nbytes
+                hits = (maps[base[:, None] + byte_idx] & mask) != 0
                 pdf = pdf.copy()
-                pdf["_maybe"] = out
+                pdf["_maybe"] = hits.all(axis=1)
                 yield pdf
 
         with_flag = (
@@ -195,14 +230,11 @@ class BloomShards:
             )
             if bm is None:  # shard never built → nothing seen in it
                 return cands.assign(_maybe=False)
-            out = [
-                all(
-                    bm[p >> 3] & (1 << (p & 7))
-                    for p in _bit_positions(url, bits, k)
-                )
-                for url in cands["_u"]
-            ]
-            return cands.assign(_maybe=out)
+            byte_idx, mask = _byte_and_mask(
+                _positions_matrix(cands["_u"].tolist(), bits, k)
+            )
+            hits = (bm[byte_idx] & mask) != 0
+            return cands.assign(_maybe=hits.all(axis=1))
 
         probed = (
             cand.groupby("_s")

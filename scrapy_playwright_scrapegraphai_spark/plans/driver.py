@@ -252,13 +252,11 @@ class CrawlEngine:
         previous save, which the resume path tops up from the committed
         new_rows deltas.
 
-        ``cached_df`` lets the merge aggregate over the still-cached
-        new_rows DataFrame instead of re-reading the committed parquet
-        (one cache scan instead of a cold scan — the merge finishes
-        sooner, shrinking the next superstep's flush wait); the cache is
-        released later by the write flush (the concurrent snapshot write
-        scans the same cache). Falls back to ``path`` on any error via
-        the pending-state re-raise."""
+        ``cached_df`` lets the merge aggregate over an already-
+        materialized DataFrame (the step's localCheckpoint-ed batch)
+        instead of re-reading committed parquet — one cheap scan, started
+        the moment the barrier finishes. Falls back to ``path`` on any
+        error via the pending-state re-raise."""
         import threading
 
         state = {"err": None}
@@ -690,6 +688,24 @@ class CrawlEngine:
             batch = batch.localCheckpoint(eager=True)
             _mark("parse_barrier")
             if bloom is not None:
+                # start this step's bloom merge NOW, from the materialized
+                # batch — not from new_rows on the advance thread. The two
+                # produce IDENTICAL bitmaps: batch ∖ new is exactly the
+                # already-seen urls, which the bloom contains by
+                # construction (no false negatives), so OR-ing them back
+                # is a no-op. Starting at the barrier's end gives the
+                # merge the whole expand/advance/write window (tens of
+                # seconds) to finish in background, so the next step's
+                # pre-probe flush never blocks — the round-3 profile
+                # showed an 11 s bloom_wait when the merge could only
+                # overlap the ~1.5 s of next-step plan building. The
+                # terminal superstep now runs a merge it never probes
+                # (n_pending is unknown this early), but vectorized it is
+                # ~1 s of background work, long done before the terminal
+                # join, and the persisted shards still serve resume.
+                self._start_bloom_merge(
+                    spark, bloom, None, step, cached_df=batch
+                )
                 new = batch.filter(~F.col("_maybe")).drop("_maybe").unionByName(
                     anti_join_seen(
                         batch.filter(F.col("_maybe")).drop("_maybe"), seen,
@@ -900,24 +916,9 @@ class CrawlEngine:
                     vals = obs_adv.get
                     adv["n_pending"] = vals["n_pending"] or 0
                     adv["n_new"] = vals["n_new"] or 0
-                    # start this step's bloom merge HERE, on the advance
-                    # thread, the moment the new_rows cache is known hot —
-                    # it then overlaps the next superstep's politeness/
-                    # fetch/plan building instead of starting only after
-                    # the main thread joins the advance, which left the
-                    # next step's pre-probe flush waiting the merge's
-                    # whole duration. Skip when the frontier just drained
-                    # (n_pending==0): the next iteration terminates
-                    # without probing, and resume tops the persisted
-                    # shards up from the committed delta anyway.
-                    if (
-                        bloom is not None
-                        and adv["n_new"]
-                        and adv["n_pending"] > 0
-                    ):
-                        self._start_bloom_merge(
-                            spark, bloom, None, step, cached_df=new_rows
-                        )
+                    # (this step's bloom merge already started at the
+                    # parse barrier's end, from the materialized batch —
+                    # see the merge-equivalence note there)
                 except BaseException as e:  # noqa: BLE001 — re-raised below
                     adv["err"] = e
                 finally:
@@ -972,10 +973,9 @@ class CrawlEngine:
             n_pending = adv["n_pending"]
             n_new = adv["n_new"]
             next_seq += n_new
-            # (this step's bloom merge was already started by the advance
-            # thread itself — see _advance — so it overlaps the next
-            # superstep's plan building; _flush_bloom_pending joins it
-            # before the next probe)
+            # (this step's bloom merge started at the parse barrier's end
+            # and has been overlapping the advance + write;
+            # _flush_bloom_pending joins it before the next probe)
             # caches stay alive until the write flush (the write scans
             # parsed for updates/lineage/page_text and new_rows for the
             # table write; the bloom merge scans new_rows too)

@@ -280,6 +280,45 @@ def test_bloom_no_false_negatives_and_prefilter(spark):
     assert combined == exact
 
 
+def test_bloom_vectorized_positions_bit_identical():
+    """The numpy position matrix must equal the per-URL Python reference
+    exactly — the vectorized build/probe and the single-URL add/
+    might_contain share bitmaps, so any divergence is a false negative."""
+    from scrapy_playwright_scrapegraphai_spark.operators.seenset import (
+        _bit_positions,
+        _positions_matrix,
+    )
+
+    urls = [f"https://h{i % 13}.t/p/{i}?q={i * 7}" for i in range(500)]
+    urls += ["https://edge.t/", "https://edge.t/%C3%A9", "x"]
+    for m_bits, k in [(1 << 12, 5), (1_198_132, 7), ((1 << 33) + 17, 8)]:
+        mat = _positions_matrix(urls, m_bits, k)
+        assert mat.shape == (len(urls), k)
+        for row, u in zip(mat, urls):
+            assert [int(x) for x in row] == _bit_positions(u, m_bits, k)
+    assert _positions_matrix([], 1 << 12, 5).shape == (0, 5)
+
+
+def test_bloom_df_build_matches_single_url_add(spark):
+    """add_df (vectorized) and add (scalar) must set identical bits."""
+    from pyspark.sql import functions as SF
+
+    urls = [f"https://h{i % 5}.t/p/{i}" for i in range(400)]
+    via_df = BloomShards.sized_for(1000, num_shards=4)
+    via_df.add_df(spark.createDataFrame([(u,) for u in urls], "url string"))
+    via_scalar = BloomShards.sized_for(1000, num_shards=4)
+    shards = {
+        r["u"]: r["s"]
+        for r in spark.createDataFrame([(u,) for u in urls], "u string")
+        .select("u", SF.pmod(SF.xxhash64("u"), SF.lit(4)).alias("s"))
+        .collect()
+    }
+    for u in urls:
+        via_scalar.add(u, shards[u])
+    for a, b in zip(via_df.bitmaps, via_scalar.bitmaps):
+        assert a.tobytes() == b.tobytes()
+
+
 def test_bloom_serialize_roundtrip():
     bloom = BloomShards(4, 1 << 12, 5)
     for i in range(100):
