@@ -344,30 +344,7 @@ def main() -> None:
 
     out: dict = {"sf": SF_DIR, "unit": "urls/sec"}
 
-    # 1) headline operator queries at sf dir (skippable for scaling-only
-    # iteration runs: SPARK_GRAFT_BENCH_SKIP_QUERIES=1)
-    if os.environ.get("SPARK_GRAFT_BENCH_SKIP_QUERIES", "") != "1":
-        from scrapy_playwright_scrapegraphai_spark import entry_queries as EQ
-
-        spark = make_spark(CPUS, "sps-bench-queries")
-        spark.sparkContext.setLogLevel("ERROR")
-        # untimed warmup: absorbs one-time session costs (codegen,
-        # committer init, python worker spawn, parquet footer reads) so
-        # the FIRST timed query doesn't carry them
-        EQ.QUERIES["politeness_topk"](spark, SF_DIR).count()
-        qtimes: dict[str, float] = {}
-        for name in HEADLINE:
-            fn = EQ.QUERIES[name]
-            t0 = time.monotonic()
-            n = fn(spark, SF_DIR).count()
-            qtimes[name] = round(time.monotonic() - t0, 3)
-            print(
-                f"# query {name}: {qtimes[name]}s ({n} rows)", file=sys.stderr
-            )
-        spark.stop()
-        out["queries"] = qtimes
-
-    # 2) bench corpus (generated once, reused by both crawl runs)
+    # 1) bench corpus (generated once, reused by both crawl runs)
     from scrapy_playwright_scrapegraphai_spark.sources.bench_corpus import (
         generate_bench_corpus,
     )
@@ -383,7 +360,15 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    # 3) crawl throughput at local[N] vs local[4N] — fresh JVM each,
+    # 2) crawl throughput at local[N] vs local[4N] — fresh JVM each,
+    # and BEFORE the operator-queries phase: the queries run a multi-
+    # minute full-width (local[32]) burn, and on this host a sustained
+    # burn depletes a clock budget that the NEXT few minutes inherit —
+    # round 3/4 artifacts show the scaling repeat that directly followed
+    # the queries phase reading 15-25% slow on its first leg. Scaling
+    # first means repeat 1 starts from whatever rest the host had, and
+    # the queries (which have no cross-leg ratio to distort) absorb the
+    # post-scaling state instead.
     # REPEATED (default 3×) with the median reported. The scaling
     # criterion is about the JOB's parallel fraction; this VM's per-core
     # throughput itself degrades as occupancy rises (sustained-clock /
@@ -527,6 +512,30 @@ def main() -> None:
     }
     out["metric"] = f"crawl_urls_per_sec_local{hi}"
     out["value"] = out["scaling"]["urls_per_sec_high"]
+
+    # 3) headline operator queries at sf dir (skippable for scaling-only
+    # iteration runs: SPARK_GRAFT_BENCH_SKIP_QUERIES=1). Runs AFTER the
+    # scaling phase — see the ordering note above.
+    if os.environ.get("SPARK_GRAFT_BENCH_SKIP_QUERIES", "") != "1":
+        from scrapy_playwright_scrapegraphai_spark import entry_queries as EQ
+
+        spark = make_spark(CPUS, "sps-bench-queries")
+        spark.sparkContext.setLogLevel("ERROR")
+        # untimed warmup: absorbs one-time session costs (codegen,
+        # committer init, python worker spawn, parquet footer reads) so
+        # the FIRST timed query doesn't carry them
+        EQ.QUERIES["politeness_topk"](spark, SF_DIR).count()
+        qtimes: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = EQ.QUERIES[name]
+            t0 = time.monotonic()
+            n = fn(spark, SF_DIR).count()
+            qtimes[name] = round(time.monotonic() - t0, 3)
+            print(
+                f"# query {name}: {qtimes[name]}s ({n} rows)", file=sys.stderr
+            )
+        spark.stop()
+        out["queries"] = qtimes
 
     print(json.dumps(out))
 

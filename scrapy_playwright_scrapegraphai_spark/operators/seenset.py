@@ -135,6 +135,13 @@ class BloomShards:
                 F.col(url_col).alias("u"),
                 F.pmod(F.xxhash64(F.col(url_col)), F.lit(num_shards)).alias("s"),
             )
+            # explicit user repartition on the shard key: AQE would
+            # otherwise coalesce the groupBy exchange of a few-hundred-MB
+            # url batch into ONE reducer (profiled: a 3 s single task
+            # building all shards serially); pinning to num_shards keeps
+            # the build num_shards-way parallel, and groupBy reuses the
+            # partitioning so no second exchange is added
+            .repartition(num_shards, "s")
             .groupBy("s")
             .applyInPandas(_build, "shard int, blob binary")
             .collect()

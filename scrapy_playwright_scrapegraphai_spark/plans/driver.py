@@ -770,7 +770,15 @@ class CrawlEngine:
                 # cached: the snapshot write (updates table) and the
                 # frontier advance (MERGE join build side) each scan this
                 # delta from concurrent threads — without the cache both
-                # recompute the parsed-cache scans + failed anti-join
+                # recompute the parsed-cache scans + failed anti-join.
+                # coalesce FIRST: the raw union inherits the three
+                # branches' partitioning (parse fan-out × 2 + denied —
+                # profiled at 222 partitions for 225k ~30-byte rows), and
+                # two concurrent jobs each dispatched all 222 cache-fill
+                # tasks; a handful of partitions of this tiny delta is
+                # right at any scale (the rows are fixed-width ids+enums,
+                # a multi-million-row wave is still < a few hundred MB)
+                .coalesce(2 * spark.sparkContext.defaultParallelism)
                 .cache()
             )
             # S6/A4: per-partition lineage + per-superstep metrics. The
