@@ -727,7 +727,19 @@ class CrawlEngine:
                 mode=seq_mode,
                 key_bound=next_seq,  # every parent_seq < current next_seq
             )
-            new_rows = finalize_new_rows(new, step).cache()
+            # coalesce before caching for the same reason as `updates`
+            # below: `new` inherits the barrier batch's two-branch union
+            # partitioning (≈2× the dedup shuffle width) though the rows
+            # are narrow frontier entries; the cache is then scanned by
+            # THREE consumers (table write, advance union, next step's
+            # politeness) and each would dispatch the full task fan-out.
+            # 2×cluster-width partitions keep every consumer fully
+            # parallel at any scale.
+            new_rows = (
+                finalize_new_rows(new, step)
+                .coalesce(2 * spark.sparkContext.defaultParallelism)
+                .cache()
+            )
             _mark("expand_dedup_seq")
 
             # state transitions (F9 CASE semantics, queries.sql:66-74):
@@ -918,6 +930,17 @@ class CrawlEngine:
                                 .otherwise(0)
                             ).alias("n_new"),
                         )
+                        # the union's partition count otherwise ACCRETES
+                        # superstep over superstep (each step's frontier =
+                        # previous checkpoint partitions + new_rows
+                        # partitions), and the eager localCheckpoint plus
+                        # every downstream consumer re-dispatches that
+                        # ever-growing task count over fixed-width rows.
+                        # Frontier entries are ~100 B, so 2×cluster-width
+                        # partitions stay well under task-size limits even
+                        # at a 10^10-row frontier's per-step slice; a real
+                        # cluster's defaultParallelism scales the target.
+                        .coalesce(2 * spark.sparkContext.defaultParallelism)
                         .localCheckpoint(eager=True)
                     )
                     adv["frontier"] = fr
