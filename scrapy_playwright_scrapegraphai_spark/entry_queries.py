@@ -893,6 +893,56 @@ WHERE 2 * shared >= 1 * (ca.n_sh + cb.n_sh - shared)
 """
 
 
+def q_dedup_components(spark, sf):
+    """Near-dup pairs clustered into dedup components — the pipeline's
+    last dedup step (keep ONE canonical doc per cluster, not per pair;
+    operators/dedup.py:connected_components). Edges are the exact
+    3-gram-Jaccard ≥ 0.5 pairs; component_id = min doc_id reachable, the
+    unique fixpoint, so the iterative Spark labeling and the oracle's
+    recursive CTE must agree bit-for-bit."""
+    d = _t(spark, sf, "documents")
+    pairs = D.ngram_jaccard_pairs(d, n=3, threshold_num=1, threshold_den=2)
+    comp = D.connected_components(pairs, src="doc_a", dst="doc_b")
+    return comp.select(
+        F.col("n").alias("doc_id"), F.col("label").alias("component_id")
+    )
+
+
+SQL_DEDUP_COMPONENTS = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents
+), shingled AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[i:i+2], ' ') AS sh
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+  WHERE len(t) >= 3
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(t, ' ') AS sh FROM toks WHERE len(t) < 3
+), counts AS (
+  SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM shingled a JOIN shingled b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b
+  FROM shared
+  JOIN counts ca ON ca.doc_id = doc_a
+  JOIN counts cb ON cb.doc_id = doc_b
+  WHERE 2 * shared >= 1 * (ca.n_sh + cb.n_sh - shared)
+), bidir AS (
+  SELECT doc_a AS s, doc_b AS t FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS t FROM pairs
+), reach(n, label) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM bidir) AS nodes(s)
+  UNION
+  SELECT b.s, r.label FROM bidir b JOIN reach r ON r.n = b.t
+)
+SELECT n AS doc_id, min(label) AS component_id FROM reach GROUP BY n
+"""
+
+
 def q_dedup_minhash_lsh(spark, sf):
     """MinHash+LSH candidate pairs. The md5-derived universal-hash family
     (operators/dedup.py:_hash_pair) is portable, so the DuckDB oracle
@@ -1724,6 +1774,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
+    "dedup_components": q_dedup_components,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_lsh_star": q_dedup_minhash_lsh_star,
     "dedup_simhash": q_dedup_simhash,
@@ -1777,6 +1828,7 @@ ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_ngram_jaccard_capped": SQL_DEDUP_NGRAM_JACCARD_CAPPED,
+    "dedup_components": SQL_DEDUP_COMPONENTS,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "dedup_minhash_lsh_star": SQL_DEDUP_MINHASH_LSH_STAR,
     "dedup_simhash": SQL_DEDUP_SIMHASH,

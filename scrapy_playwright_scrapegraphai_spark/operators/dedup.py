@@ -519,3 +519,89 @@ def ngram_jaccard_pairs(
         )
         .select("doc_a", "doc_b", "shared", "n_a", "n_b")
     )
+
+
+# --------------------------------------------------------------------------
+# connected components (pair list → dedup clusters)
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Cluster dup PAIRS into dedup components: (node, component) with
+    ``component`` = the smallest node id reachable from ``node``.
+
+    The missing last step of every pairwise dedup op above: a training
+    pipeline keeps ONE canonical doc per near-dup *cluster*, and pair
+    output alone over-deletes (a~b, b~c must not delete both b and c
+    against different canonicals). The reference deduplicates per-URL
+    only (src/crawler/sql/schema.sql:30 unique index); this is the
+    content-side extension.
+
+    Algorithm: min-label propagation with pointer jumping — each round
+    every node takes the min label over itself and its neighbors, then
+    compresses label ← label[label]. Converges to the unique fixpoint
+    (min reachable id) in O(log diameter) rounds, so ``max_iters=25``
+    covers any graph a dedup pair list can produce. Each round is two
+    shuffle joins plus hash aggregates with map-side combine — no
+    per-node collect_list, so a hot node (a boilerplate cluster of
+    millions of near-identical docs) costs only its edge rows, never a
+    single-row materialization. The edge list is localCheckpoint-ed once
+    and the label table per round, keeping the iterative lineage flat
+    (the classic iterative-join OOM). Raises if not converged (cannot
+    happen under max_iters ≥ log2(nodes); the guard keeps a bug from
+    silently emitting a half-propagated labeling).
+    """
+    bidir = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("t")))
+        .filter(F.col("s") != F.col("t"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        bidir.select(F.col("s").alias("n"))
+        .distinct()
+        .withColumn("label", F.col("n"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr = bidir.join(labels, bidir["t"] == labels["n"]).select(
+            bidir["s"].alias("n"), "label"
+        )
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("n")
+            .agg(F.min("label").alias("label"))
+        )
+        # pointer jumping: label ← min(label, label[label]). Labels are
+        # always real node ids (mins over reachable sets), so the
+        # self-join key always resolves; 'left' guards the empty graph.
+        jump = new.select(F.col("n").alias("_m"), F.col("label").alias("_l"))
+        new = (
+            new.join(jump, new["label"] == jump["_m"], "left")
+            .select(
+                "n",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_l"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # labels only ever decrease — one count job per round detects the
+        # fixpoint (label < old catches every change)
+        changed = (
+            new.join(labels.withColumnRenamed("label", "_old"), "n")
+            .filter(F.col("label") < F.col("_old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds"
+    )

@@ -382,3 +382,59 @@ def test_knn_ivf_kmeans_refined(emb):
     # refined centroids must partition the corpus completely
     cent = S.kmeans_refine_cells(emb, num_cells=8, iters=2)
     assert cent.count() == 8
+
+
+# --------------------------------------------------------------------------
+# connected components
+# --------------------------------------------------------------------------
+
+
+def test_connected_components_chain(spark):
+    # a 10-node path: diameter 9 — exercises the pointer-jumping rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "src long, dst long"
+    )
+    out = {r["n"]: r["label"] for r in D.connected_components(edges).collect()}
+    assert out == {i: 0 for i in range(10)}
+
+
+def test_connected_components_multiple_and_order_free(spark):
+    # two components + reversed/duplicated edges must not matter
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 5), (3, 7), (20, 21), (22, 21), (22, 21)],
+        "src long, dst long",
+    )
+    out = {r["n"]: r["label"] for r in D.connected_components(edges).collect()}
+    assert out == {3: 3, 5: 3, 7: 3, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_empty(spark):
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert D.connected_components(edges).count() == 0
+
+
+def test_connected_components_on_near_dup_pairs(docs):
+    # pipeline composition: jaccard pairs → clusters. Each seeded base doc
+    # forms one component {base, exact dup, near dup} labeled by the base
+    # (smallest) id; transitivity must hold even though (dup, near) pairs
+    # may be absent from the edge list itself.
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold_num=1, threshold_den=2)
+    comp = D.connected_components(pairs, src="doc_a", dst="doc_b")
+    rows = comp.collect()
+    by_label: dict = {}
+    for r in rows:
+        by_label.setdefault(r["label"], set()).add(r["n"])
+    # the 5 seeded clusters: each contains the base doc (id < 100000, the
+    # component label = min id) plus its 2 synthetic dups (ids >= 100000).
+    # Organic near-dup clusters among the random base docs may also exist;
+    # they contain no synthetic ids, so filter on those.
+    seeded = [
+        (lbl, m)
+        for lbl, m in by_label.items()
+        if any(x >= 100000 for x in m)
+    ]
+    assert len(seeded) == 5
+    for lbl, members in seeded:
+        assert lbl < 100000  # labeled by the (smallest) base doc id
+        assert len([m for m in members if m >= 100000]) == 2
+        assert len(members) >= 3
