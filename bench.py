@@ -76,6 +76,9 @@ HEADLINE = [
     "tpch_q3_like",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    # pairs → clusters (iterative label propagation): tracks the cost of
+    # the O(log diameter) join rounds against the pair-gen ops above
+    "dedup_components",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "embedding_dup_pairs_gated",
