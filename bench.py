@@ -107,12 +107,16 @@ def make_spark(cores: int, app: str):
     if evlog:
         os.makedirs(f"{BENCH_TMP}/sps_eventlog", exist_ok=True)
 
-    # This sandbox dispatches tasks at ~25 ms each (serialized on the
-    # driver), so task COUNT is the dominant fixed cost at small scale.
-    # parallelismFirst=false lets AQE coalesce post-shuffle partitions by
-    # SIZE — tiny shuffles collapse to a few tasks while genuinely big
-    # stages keep `shuffle.partitions` — which is also the right setting
-    # on a real cluster (fewer, right-sized reducers).
+    # parallelismFirst stays at Spark's default (true): with =false the
+    # 64 MB advisory size collapses every sub-64 MB exchange to ONE
+    # reducer — event-log profiling showed the crawl's dedup aggregate
+    # (625k rows ≈ 40 MB), the frontier-advance MERGE, and the seq-rank
+    # window each running as a single 4-9 s SERIAL task per superstep, a
+    # fixed cost that torpedoes N→4N scaling (same absolute seconds at
+    # every core count). parallelism-first coalesces small shuffles to
+    # ~defaultParallelism ≥1 MB partitions instead: ~25 ms/task dispatch
+    # × cores is noise, and every post-shuffle stage keeps cluster-width
+    # parallelism — also the right behavior on a real cluster.
     return (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
@@ -146,7 +150,7 @@ def make_spark(cores: int, app: str):
         .config("spark.sql.shuffle.partitions", str(max(32, 2 * cores)))
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

@@ -185,6 +185,17 @@ def assign_global_seq(
             "_bkt",
             F.expr(f"CAST(({order_cols[0]} * {B}) DIV {kb} AS INT)"),
         )
+        # explicit user repartition on the bucket key: the rank window's
+        # exchange is otherwise sized by AQE, and with size-based
+        # coalescing a few-hundred-thousand-row superstep batch (~20 MB)
+        # collapses to ONE reducer — the whole window + every downstream
+        # projection/UDF then runs single-threaded (event-log profiled:
+        # a 5 s serial stage in the frontier advance). A user-specified
+        # width is preserved by AQE, the window reuses the partitioning
+        # (no second exchange), and the counts aggregate below rides the
+        # same exchange with a map-side partial. B buckets ≍ B partitions
+        # scales with cluster width.
+        src = src.repartition(B, "_bkt")
         counts = src.groupBy("_bkt").agg(F.count("*").alias("_cnt"))
         w_off = (
             Window.orderBy("_bkt")

@@ -263,6 +263,7 @@ class CrawlEngine:
 
         def run():
             try:
+                spark.sparkContext.setJobDescription(f"bloom merge step {step}")
                 src = cached_df if cached_df is not None else (
                     spark.read.parquet(path)
                 )
@@ -903,6 +904,10 @@ class CrawlEngine:
 
             def _advance():
                 try:
+                    _t_adv = time.monotonic()
+                    # thread-local tag: jobs this thread submits show up as
+                    # "advance step k" in the UI/event log (diagnostics)
+                    spark.sparkContext.setJobDescription(f"advance step {step}")
                     obs_adv = Observation(f"advance_{step}")
                     fr = (
                         self._apply_updates(
@@ -940,13 +945,32 @@ class CrawlEngine:
                         # partitions stay well under task-size limits even
                         # at a 10^10-row frontier's per-step slice; a real
                         # cluster's defaultParallelism scales the target.
-                        .coalesce(2 * spark.sparkContext.defaultParallelism)
+                        # repartition, NOT coalesce: the MERGE join above
+                        # ends in an AQE exchange whose post-shuffle
+                        # partition count is decided by SIZE (with
+                        # parallelismFirst=false a whole multi-100k-row
+                        # frontier of ~100 B rows fits ONE advisory-sized
+                        # partition), and coalesce can only shrink — the
+                        # event log showed the entire advance (join +
+                        # union + localCheckpoint) fused into a SINGLE
+                        # task, a serial tail that costs the same absolute
+                        # seconds at every cluster size. A round-robin
+                        # exchange of narrow rows is ~free and guarantees
+                        # cluster-width parallelism for the checkpoint
+                        # store and every downstream frontier consumer.
+                        .repartition(2 * spark.sparkContext.defaultParallelism)
                         .localCheckpoint(eager=True)
                     )
                     adv["frontier"] = fr
                     vals = obs_adv.get
                     adv["n_pending"] = vals["n_pending"] or 0
                     adv["n_new"] = vals["n_new"] or 0
+                    if cfg.profile:
+                        print(
+                            f"[profile] step {step}: advance_job="
+                            f"{time.monotonic()-_t_adv:.1f}s",
+                            file=sys.stderr,
+                        )
                     # (this step's bloom merge already started at the
                     # parse barrier's end, from the materialized batch —
                     # see the merge-equivalence note there)
@@ -956,7 +980,10 @@ class CrawlEngine:
                     adv_done.set()  # unblock _commit_meta either way
 
             adv_t = threading.Thread(target=_advance, daemon=True)
-            adv_t.start()
+            import os as _os
+            _seq_tail = _os.environ.get("SPARK_GRAFT_SEQ_TAIL", "") == "1"
+            if not _seq_tail:
+                adv_t.start()
             # the snapshot write ALSO runs off the main thread: step k's
             # commit needs to finish only before step k+1's commit (or
             # the terminal meta update) — enforced by _flush_write below
@@ -978,7 +1005,15 @@ class CrawlEngine:
 
             def _write(tables=write_tables, meta=_commit_meta, k=step):
                 try:
+                    _t_wr = time.monotonic()
+                    spark.sparkContext.setJobDescription(f"write step {k}")
                     self.store.write_step(k, tables, meta)
+                    if cfg.profile:
+                        print(
+                            f"[profile] step {k}: write_job="
+                            f"{time.monotonic()-_t_wr:.1f}s",
+                            file=sys.stderr,
+                        )
                 except BaseException as e:  # noqa: BLE001 — re-raised at flush
                     wr_state["err"] = e
 
@@ -991,7 +1026,16 @@ class CrawlEngine:
             # heavy (page_text fan-out), so there it starts immediately
             # and overlaps the advance as well.
             small_step = n_pending <= cfg.lookup_pushdown_threshold
-            if not small_step:
+            if _seq_tail:
+                # measurement mode: serialize advance before write to see
+                # the uncontended cost of each (throwaway diagnostics;
+                # write-before-advance would deadlock — the manifest meta
+                # waits on the advance Observation for n_new)
+                adv_t.start()
+                adv_t.join()
+                wr_t.start()
+                small_step = False
+            elif not small_step:
                 wr_t.start()
             _mark("state_write")
             adv_t.join()
