@@ -943,6 +943,34 @@ SELECT n AS doc_id, min(label) AS component_id FROM reach GROUP BY n
 """
 
 
+def q_dedup_canonical(spark, sf):
+    """The dedup pipeline's END PRODUCT: the surviving corpus after
+    near-dup clustering — one canonical doc (min doc_id) per exact
+    3-gram-Jaccard ≥ 0.5 cluster plus every unclustered doc
+    (operators/dedup.py:dedup_canonical). Together with
+    ``dedup_components`` this value-checks the whole pairs → clusters →
+    surviving-set chain end-to-end."""
+    d = _t(spark, sf, "documents")
+    pairs = D.ngram_jaccard_pairs(d, n=3, threshold_num=1, threshold_den=2)
+    keep = D.dedup_canonical(d, pairs, id_col="doc_id")
+    return keep.select("doc_id", "lang", F.length("text").alias("text_len"))
+
+
+# same recursive-CTE body as SQL_DEDUP_COMPONENTS; the final select
+# anti-joins the corpus against the non-canonical cluster members
+SQL_DEDUP_CANONICAL = SQL_DEDUP_COMPONENTS.replace(
+    "SELECT n AS doc_id, min(label) AS component_id FROM reach GROUP BY n",
+    """, comp AS (
+  SELECT n AS doc_id, min(label) AS component_id FROM reach GROUP BY n
+)
+SELECT d.doc_id, d.lang, length(d.text) AS text_len
+FROM documents d
+WHERE d.doc_id NOT IN (
+  SELECT doc_id FROM comp WHERE component_id <> doc_id
+)""",
+)
+
+
 def q_dedup_minhash_lsh(spark, sf):
     """MinHash+LSH candidate pairs. The md5-derived universal-hash family
     (operators/dedup.py:_hash_pair) is portable, so the DuckDB oracle
@@ -1775,6 +1803,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
     "dedup_components": q_dedup_components,
+    "dedup_canonical": q_dedup_canonical,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_lsh_star": q_dedup_minhash_lsh_star,
     "dedup_simhash": q_dedup_simhash,
@@ -1829,6 +1858,7 @@ ORACLE_SQL = {
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_ngram_jaccard_capped": SQL_DEDUP_NGRAM_JACCARD_CAPPED,
     "dedup_components": SQL_DEDUP_COMPONENTS,
+    "dedup_canonical": SQL_DEDUP_CANONICAL,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "dedup_minhash_lsh_star": SQL_DEDUP_MINHASH_LSH_STAR,
     "dedup_simhash": SQL_DEDUP_SIMHASH,

@@ -605,3 +605,29 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds"
     )
+
+
+def dedup_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """The dedup pipeline's final output: the SURVIVING corpus — one
+    canonical doc per near-dup cluster (the min id, the same fixpoint
+    ``connected_components`` computes) plus every doc in no cluster.
+
+    Pure composition: cluster the pairs, then anti-join the corpus
+    against the non-canonical members (label ≠ node). The anti-join's
+    build side is the duplicate set — at 100 TB that's the minority of
+    the corpus by construction (it only exists where near-dups were
+    found), and AQE picks broadcast vs shuffle from its runtime size;
+    the corpus side streams once with no wide shuffle.
+    """
+    comp = connected_components(pairs, src=src, dst=dst, max_iters=max_iters)
+    losers = comp.filter(F.col("label") != F.col("n")).select(
+        F.col("n").alias(id_col)
+    )
+    return docs.join(losers, on=id_col, how="left_anti")

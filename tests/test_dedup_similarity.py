@@ -438,3 +438,22 @@ def test_connected_components_on_near_dup_pairs(docs):
         assert lbl < 100000  # labeled by the (smallest) base doc id
         assert len([m for m in members if m >= 100000]) == 2
         assert len(members) >= 3
+
+
+def test_dedup_canonical_surviving_set(docs):
+    # the end product: per cluster exactly the min-id member survives,
+    # every unclustered doc survives untouched
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold_num=1, threshold_den=2)
+    comp = {r["n"]: r["label"] for r in
+            D.connected_components(pairs, src="doc_a", dst="doc_b").collect()}
+    kept = {r["doc_id"] for r in D.dedup_canonical(docs, pairs).collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    expect = {i for i in all_ids if comp.get(i, i) == i}
+    assert kept == expect
+    # all 10 synthetic dups (ids >= 100000) cluster with a base doc → dropped
+    assert not any(i >= 100000 for i in kept)
+
+
+def test_dedup_canonical_no_pairs_keeps_everything(spark, docs):
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert D.dedup_canonical(docs, empty).count() == docs.count()
