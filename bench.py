@@ -242,6 +242,13 @@ def crawl_run(cores: int) -> dict:
     warm_pages = spark.read.parquet(warm_corpus_path(CORPUS_PATH))
     CrawlEngine(spark, warm_pages, seeds, robots, warm_ckpt, warm_cfg).run()
     _sh.rmtree(warm_ckpt, ignore_errors=True)
+    # let the host's burn budget replenish after the warm-up burn before
+    # the TIMED section starts — JIT/codegen state doesn't decay while
+    # idle, but this VM's sustained-burn limiter does recover (measured:
+    # legs starting right after a full-core burn read up to ~50% slow).
+    # Measurement hygiene for this sandbox only; a real cluster has no
+    # burn limiter and would skip this.
+    time.sleep(float(os.environ.get("SPARK_GRAFT_WARM_REST", "45")))
 
     ckpt = tempfile.mkdtemp(prefix=f"sps_bench_ckpt_{cores}_", dir=BENCH_TMP)
     t0 = time.monotonic()
