@@ -346,7 +346,13 @@ class CrawlEngine:
             if "page_text" in man["tables"]:
                 text_paths.append(man["tables"]["page_text"])
         if upto > 0:
-            frontier = frontier.localCheckpoint(eager=True)
+            # same width guarantee as the live advance: the folded MERGE
+            # joins end in AQE-sized exchanges that size-based coalescing
+            # can collapse to one partition for a sub-advisory frontier —
+            # a serial stage every post-resume consumer would inherit
+            frontier = frontier.repartition(
+                2 * spark.sparkContext.defaultParallelism
+            ).localCheckpoint(eager=True)
         return frontier, metrics_rows, lineage_paths, text_paths
 
     def _result(self, frontier, metrics_rows, lineage_paths, text_paths,
