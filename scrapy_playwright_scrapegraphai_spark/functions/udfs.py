@@ -347,3 +347,24 @@ def with_main_domain(df: DataFrame, url_col: str = "url") -> DataFrame:
     disagree on edge cases (userinfo, bare ports), so the stored column
     comes from the parity path."""
     return df.withColumn("main_domain", main_domain_udf(F.col(url_col)))
+
+
+def main_domain_native(url: "F.Column | str"):
+    """JVM-side ``urlparse(url).netloc`` — valid ONLY for urls that pass
+    ``kernels.is_valid_url`` (scheme + netloc present), which is the
+    invariant of every row reaching ``finalize_new_rows`` (the P2
+    validity gate runs inside the fused parse before classification).
+
+    Replicates CPython ``urlsplit`` exactly on that domain: tab/CR/LF
+    removed anywhere, the LEADING C0-control/space run stripped (CPython
+    does not strip trailing — a netloc really can end in a space), then
+    the authority is everything between ``scheme://`` and the first of
+    ``/ ? #``. Java's ``parse_url(..., 'HOST')`` is NOT equivalent
+    (drops userinfo and port), hence the regexp. Property-tested against
+    the Python kernel in tests/test_kernels.py; keeps the frontier
+    advance free of Python workers (the Arrow eval was 2-3 s/superstep
+    at 8 cores on the bench corpus)."""
+    c = F.col(url) if isinstance(url, str) else url
+    c = F.regexp_replace(c, "[\\t\\n\\r]", "")
+    c = F.regexp_replace(c, "^[\\x00-\\x20]+", "")
+    return F.regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)

@@ -253,12 +253,17 @@ def assign_global_seq(
 
 
 def finalize_new_rows(new: DataFrame, superstep: int) -> DataFrame:
-    """Classified+deduped child rows → full frontier-schema rows."""
-    from ..functions.udfs import main_domain_udf
+    """Classified+deduped child rows → full frontier-schema rows.
+
+    ``main_domain`` uses the JVM-native netloc expression: every row
+    here passed the P2 validity gate (scheme + netloc present), the
+    domain on which the expression is property-tested equal to the
+    urllib kernel — no Python worker on the frontier-advance path."""
+    from ..functions.udfs import main_domain_native
 
     return (
         new.withColumn("url_hash", F.xxhash64(F.col("url")))
-        .withColumn("main_domain", main_domain_udf(F.col("url")))
+        .withColumn("main_domain", main_domain_native("url"))
         .withColumn("is_root", F.lit(False))
         .withColumn("url_state", F.lit("pending"))
         .withColumn("error_message", F.lit(None).cast("string"))

@@ -467,3 +467,40 @@ def test_fast_parser_parity_fuzz_soup(s):
 @given(st.binary(max_size=200))
 def test_fast_parser_parity_fuzz_bytes(b):
     _assert_public_equals_slow(b)
+
+
+# --- main_domain JVM-native mirror (udfs.main_domain_native) -----------------
+
+def _native_netloc_mirror(u: str):
+    """Pure-Python mirror of the Spark regexp chain in
+    udfs.main_domain_native — same three steps, same patterns."""
+    u = re.sub(r"[\t\n\r]", "", u)
+    u = re.sub(r"^[\x00-\x20]+", "", u)
+    m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", u)
+    return m.group(1) if m else ""
+
+
+@given(st.text(alphabet=_HREF_CHARS, min_size=1, max_size=60))
+def test_main_domain_native_mirror_matches_kernel(u):
+    """On the is_valid_url domain (the finalize_new_rows invariant) the
+    native expression must equal urlparse(url).netloc exactly."""
+    if not K.is_valid_url(u):
+        return
+    assert _native_netloc_mirror(u) == K.main_domain(u)
+
+
+_NETLOC_CHARS = st.sampled_from(
+    [chr(c) for c in range(0x00, 0x7F)]
+    + [chr(c) for c in range(0xE0, 0x100)]
+    + ["\u0131", "\u20ac"]
+)
+
+
+@given(st.sampled_from(["http", "HTTPS", "a+b-c.d"]),
+       st.text(alphabet=_NETLOC_CHARS, min_size=0, max_size=30),
+       st.text(alphabet=_NETLOC_CHARS, min_size=0, max_size=8))
+def test_main_domain_native_mirror_matches_kernel_urlish(scheme, rest, lead):
+    u = f"{lead}{scheme}://{rest}"
+    if not K.is_valid_url(u):
+        return
+    assert _native_netloc_mirror(u) == K.main_domain(u)

@@ -541,3 +541,44 @@ def test_null_html_page_is_fetch_failure(spark, tmp_path):
     ).run()
     row = r.frontier.collect()[0]
     assert row["url_state"] == "failed" and row["attempt"] == 2
+
+
+def test_main_domain_native_equals_kernel_on_valid_urls(spark):
+    """finalize_new_rows' JVM netloc expression vs the urllib kernel on
+    every adversarial VALID url shape (its input invariant) — plus the
+    invariant itself: invalid urls never reach it."""
+    from scrapy_playwright_scrapegraphai_spark.functions.udfs import (
+        main_domain_native,
+    )
+
+    candidates = [
+        "http://h.t/p",
+        "https://User:p@Host.TEST:8080/x?q=1#f",
+        "HTTPS://MiXeD.CaSe:443",
+        "http://h.t",
+        "http://h.t:80",
+        "ftp://h.t/dir/",
+        "a+b-c.d://weird/p",
+        "http://h b/with space",
+        "http://h.t/p;param?q#frag",
+        " http://lead.space/x",
+        "\thttp://lead.tab/x",
+        "\x01http://lead.ctl/x",
+        "http://ta\tb.inner/x",
+        "http://trail.sp /x",
+        "http://trail.sp2 ",
+        "http://[::1]:8080/v6",
+        "http://h.t\\backslash/x",
+        "http://h\u0131host.t/\u20ac",
+        "http://a?q//h",
+        "http://a#f//h",
+    ]
+    valid = [u for u in candidates if K.is_valid_url(u)]
+    assert len(valid) >= 18
+    df = spark.createDataFrame([(u,) for u in valid], "url string")
+    got = {
+        r["url"]: r["md"]
+        for r in df.withColumn("md", main_domain_native("url")).collect()
+    }
+    for u in valid:
+        assert got[u] == K.main_domain(u), repr(u)
