@@ -109,6 +109,18 @@ class CrawlConfig:
     # candidate shard ↔ shard blob — at the 10^10 design point the
     # bitmaps total ~12 GB and must never broadcast)
     bloom_broadcast_max_bytes: int = 64 << 20
+    # warm the pages-table scan machinery on a background thread at run()
+    # start: a zero-row pushed-down point probe parses every parquet
+    # footer + ColumnIndex and initializes the vectorized reader without
+    # decoding data (a lexically-out-of-range sentinel prunes every page).
+    # First touch of a large table otherwise costs seconds of one-time
+    # metadata parse INSIDE the first superstep's fetch barrier (measured
+    # 2.9 s cold vs 0.3 s warm for the seed point-lookup on the 1.5 GB
+    # bench corpus). This is the single-JVM analog of keeping table
+    # metadata caches hot (Iceberg manifest cache / FileStatusCache) in a
+    # long-running cluster crawl. coalesce(2) bounds the probe to two
+    # task slots so critical-path jobs are never starved behind it.
+    prewarm_pages_scan: bool = True
     profile: bool = False            # print per-phase wall times to stderr
 
 
@@ -390,6 +402,26 @@ class CrawlEngine:
         _work_pred = (F.col("url_state") == "pending") & (
             F.col("is_root") | ~F.col("is_target")
         )
+
+        if cfg.prewarm_pages_scan:
+            import threading as _th
+
+            def _prewarm():
+                # advisory only — never fails or delays the crawl. '~'
+                # (0x7E) sorts above every scheme-prefixed URL, so page
+                # min/max stats prune all data pages: the job parses scan
+                # metadata and returns 0 rows.
+                try:
+                    spark.sparkContext.setJobDescription(
+                        "prewarm pages scan metadata"
+                    )
+                    self.pages.select("url", "html").filter(
+                        F.col("url").isin(["~prewarm~sentinel~"])
+                    ).coalesce(2).count()
+                except Exception:
+                    pass
+
+            _th.Thread(target=_prewarm, daemon=True).start()
 
         latest = self.store.latest_step() if resume else None
         fresh_start = latest is None
