@@ -288,27 +288,42 @@ def minhash_lsh_candidates(
         ).alias("sig"),
     )
 
-    def _key(slice_col):
-        joined = F.concat_ws(
-            "-", F.transform(slice_col, lambda v: v.cast("string"))
-        )
+    def _key(joined):
         if band_key == "md5":
             return F.md5(joined)
         if band_key == "xxhash64":
             return F.xxhash64(joined)
         return joined
 
+    # band extraction is UNROLLED over the (small, static) band count
+    # rather than written as nested transform()/slice() lambdas: Spark
+    # evaluates higher-order functions interpreted, per element, outside
+    # whole-stage codegen — measured ~2 s for 5000 docs × 16 bands at
+    # sf0.1, i.e. the dominant cost of the whole operator. The unrolled
+    # element_at/concat_ws/md5 tree codegens into one pass and is
+    # semantically identical (same '-'-joined decimal strings, same
+    # hash), so the DuckDB oracle mirror is unchanged.
     banded = sig.select(
         "doc",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_idx"),
-                    _key(F.slice("sig", b * F.lit(r) + 1, r)).alias(
-                        "band_hash"
-                    ),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        _key(
+                            F.concat_ws(
+                                "-",
+                                *[
+                                    F.element_at("sig", b * r + j + 1).cast(
+                                        "string"
+                                    )
+                                    for j in range(r)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bb"),
     ).select("doc", "bb.band_idx", "bb.band_hash")
