@@ -584,7 +584,9 @@ def connected_components(
         .withColumn("label", F.col("n"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iters):
+    from pyspark.sql import Observation
+
+    for it in range(max_iters):
         nbr = bidir.join(labels, bidir["t"] == labels["n"]).select(
             bidir["s"].alias("n"), "label"
         )
@@ -597,23 +599,32 @@ def connected_components(
         # always real node ids (mins over reachable sets), so the
         # self-join key always resolves; 'left' guards the empty graph.
         jump = new.select(F.col("n").alias("_m"), F.col("label").alias("_l"))
+        new = new.join(jump, new["label"] == jump["_m"], "left").select(
+            "n",
+            F.least(
+                F.col("label"), F.coalesce(F.col("_l"), F.col("label"))
+            ).alias("label"),
+        )
+        # labels only ever decrease, so label < old catches every change.
+        # The fixpoint check rides the checkpoint job as an Observation
+        # on the old-vs-new join (every node survives the inner join —
+        # same node set both sides): ONE job per round instead of a
+        # checkpoint job plus a dedicated join+count job — per-round
+        # wall is job-launch dominated at small scale and the fused form
+        # also touches each label partition once at cluster scale.
+        obs = Observation(f"cc_changed_{it}")
         new = (
-            new.join(jump, new["label"] == jump["_m"], "left")
-            .select(
-                "n",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("_l"), F.col("label"))
-                ).alias("label"),
+            new.join(labels.withColumnRenamed("label", "_old"), "n")
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("label") < F.col("_old")).cast("long")
+                ).alias("changed"),
             )
+            .select("n", "label")
             .localCheckpoint(eager=True)
         )
-        # labels only ever decrease — one count job per round detects the
-        # fixpoint (label < old catches every change)
-        changed = (
-            new.join(labels.withColumnRenamed("label", "_old"), "n")
-            .filter(F.col("label") < F.col("_old"))
-            .count()
-        )
+        changed = obs.get["changed"] or 0
         labels = new
         if changed == 0:
             return labels
