@@ -67,6 +67,17 @@ from ..operators.frontier import (
 from ..operators.seenset import BloomShards
 from .store import SnapshotStore
 
+# Largest In(url, [...]) list forwarded to the parquet reader as an exact
+# pushed filter. parquet-mr represents a pushed In as a nested binary
+# Or(Or(Or(...))) tree whose evaluation recurses once per term — ~1500+
+# terms overflows a default-sized executor thread stack (measured:
+# StackOverflowError at 2000 urls, OK at 1500, pyspark 4.1.2 / Java 17).
+# 1000 keeps ~2x margin since the trigger depth depends on how much stack
+# the surrounding operator chain already consumed. Lists above the cap
+# still evaluate exactly (InSet hash probe post-scan); only the
+# scan-level pruning falls back to the pushed min/max range filter.
+PARQUET_IN_PUSHDOWN_SAFE_MAX = 1000
+
 METRICS_DDL = (
     "superstep int, n_work long, n_admitted long, n_denied long, "
     "n_deferred long, n_fetched_ok long, n_fetch_failed long, n_new long, "
@@ -165,10 +176,25 @@ class CrawlEngine:
         # the point-lookup fetch path pushes an In(url, [...]) predicate
         # with up to lookup_pushdown_threshold values into the parquet
         # scan; Spark only forwards exact In filters up to this conf
-        # (beyond it, a useless min/max range filter is pushed instead)
+        # (beyond it, a min/max range filter is pushed instead). The raise
+        # is CAPPED: parquet-mr composes a pushed In as a NESTED BINARY OR
+        # tree, and evaluating/serializing ~1500+ terms overflows a
+        # default executor thread stack (measured StackOverflowError at
+        # 2000 urls on this JVM). Batches between the cap and the lookup
+        # threshold still take the point-lookup path — the isin() filter
+        # is evaluated post-scan as an InSet hash probe (any size is
+        # fine); only the scan-level pruning degrades to the range filter.
         spark.conf.set(
             "spark.sql.parquet.pushdown.inFilterThreshold",
-            str(max(10, self.cfg.lookup_pushdown_threshold)),
+            str(
+                max(
+                    10,
+                    min(
+                        self.cfg.lookup_pushdown_threshold,
+                        PARQUET_IN_PUSHDOWN_SAFE_MAX,
+                    ),
+                )
+            ),
         )
 
     # -- initial state ---------------------------------------------------------
@@ -655,11 +681,17 @@ class CrawlEngine:
                 # the threshold to cover the lookup list pushes the actual
                 # point set → row-group stats + ColumnIndex page pruning
                 # do their job (measured 6.5 s → 1.9 s on the bench
-                # corpus). Only ever raised, never lowered, and the
-                # lookup path is bounded by cfg.lookup_pushdown_threshold.
+                # corpus). Capped at PARQUET_IN_PUSHDOWN_SAFE_MAX: a
+                # pushed In beyond ~1500 terms overflows the executor
+                # stack (nested binary OR tree — see the constant's
+                # docstring); larger small-batches keep the exact isin()
+                # filter post-scan and a range filter in the scan.
                 _key = "spark.sql.parquet.pushdown.inFilterThreshold"
                 try:
-                    if int(spark.conf.get(_key, "10")) <= len(batch_urls):
+                    if (
+                        int(spark.conf.get(_key, "10")) <= len(batch_urls)
+                        <= PARQUET_IN_PUSHDOWN_SAFE_MAX
+                    ):
                         spark.conf.set(_key, str(len(batch_urls) + 1))
                 except Exception:
                     pass  # conf not supported on this session — range scan

@@ -164,3 +164,57 @@ def test_whole_stage_codegen_covers_scan_filter_agg(spark):
     )
     # '*(n)' prefixes mark whole-stage-codegen spans in simple mode
     assert "isFinalPlan=true" in simple and "*(" in simple, simple
+
+
+def test_point_lookup_batch_above_parquet_in_pushdown_cap(spark, tmp_path):
+    """A pending batch in (PARQUET_IN_PUSHDOWN_SAFE_MAX,
+    lookup_pushdown_threshold] must complete the point-lookup superstep.
+
+    Regression: the engine raises parquet.pushdown.inFilterThreshold to
+    cover the lookup list, and parquet-mr composes a pushed In as a
+    nested binary OR tree — at ~2000 urls the executor thread stack
+    overflows (StackOverflowError, pyspark 4.1.2 / Java 17). The cap
+    keeps the exact isin() filter post-scan and lets the scan fall back
+    to a range filter, so the crawl must finish and fetch every page."""
+    from scrapy_playwright_scrapegraphai_spark.plans.driver import (
+        PARQUET_IN_PUSHDOWN_SAFE_MAX,
+        CrawlConfig,
+        CrawlEngine,
+    )
+    from scrapy_playwright_scrapegraphai_spark.sources.bench_corpus import (
+        bench_seeds_and_robots,
+        generate_bench_corpus,
+    )
+    from scrapy_playwright_scrapegraphai_spark.sources.synth import (
+        ROBOTS_DDL,
+        SEEDS_DDL,
+    )
+
+    n_hosts, pages_per_host = 8, 320
+    path = str(tmp_path / "pages.parquet")
+    generate_bench_corpus(
+        path, n_hosts, pages_per_host, links_per_page=2,
+        mega_host_factor=1, words_per_page=20,
+    )
+    pages = spark.read.parquet(path)
+    seeds_rows, robots_rows = bench_seeds_and_robots(n_hosts)
+    seeds = spark.createDataFrame(
+        [tuple(s.values()) for s in seeds_rows], SEEDS_DDL
+    )
+    robots = spark.createDataFrame(
+        [tuple(r.values()) for r in robots_rows], ROBOTS_DDL
+    )
+    cfg = CrawlConfig(superstep_seconds=1e6, expected_urls=10_000)
+    # the step-2 batch ((pages_per_host - 1) * n_hosts = 2552 pending
+    # urls) sits strictly between the pushdown cap and the lookup
+    # threshold — the window where the old code crashed the JVM
+    assert (
+        PARQUET_IN_PUSHDOWN_SAFE_MAX
+        < (pages_per_host - 1) * n_hosts
+        <= cfg.lookup_pushdown_threshold
+    )
+    r = CrawlEngine(
+        spark, pages, seeds, robots, str(tmp_path / "ckpt"), cfg
+    ).run()
+    processed = r.frontier.filter("url_state = 'processed'").count()
+    assert processed == n_hosts * pages_per_host
