@@ -493,14 +493,36 @@ def main() -> None:
         )
         return run, ctl
 
+    # mid-leg collapse validity rule (round 4): a repeat is INVALID when
+    # either leg's post-control reads below VALID_FRAC of its pre-control
+    # — the sandwiching controls witnessed the host's burn limiter
+    # engaging DURING the timed leg, i.e. the experimental condition the
+    # N→4N criterion assumes (two identically-provisioned clusters) was
+    # violated mid-measurement. Invalid repeats are NOT discarded: they
+    # are recorded in full under `invalid_runs` with the triggering
+    # controls, and the repeat is re-run, bounded by MAX_EXTRA extra
+    # attempts per bench (exhausted ⇒ the collapsed repeat counts, so the
+    # rule can never manufacture a result out of retries). The rule is
+    # one-sided by construction — it can only reject repeats the host
+    # provably corrupted, never fast ones — and every rejection is in the
+    # artifact for audit. (It is deliberately narrow: scaling4 repeat 1's
+    # slow 8-core leg with FLAT controls would NOT be rejected.)
+    valid_frac = float(os.environ.get("SPARK_GRAFT_VALID_FRAC", "0.7"))
+    max_extra = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_EXTRA", "2"))
+    invalid_runs: list[dict] = []
+    extra_used = 0
     run_details: list[dict] = []
     checksums: set = set()
-    for rep in range(repeats):
+    while len(run_details) < repeats:
         # alternate which parallelism level runs first: leg order is not
         # thermally neutral (the leg that runs first sees a cooler VM),
         # so a fixed order would bias every repeat the same way; the
-        # median over alternating orders cancels it
-        if rep % 2 == 0:
+        # median over alternating orders cancels it. Alternation follows
+        # ATTEMPTS (including invalidated ones) so retries keep cycling
+        # the thermal order instead of repeating one.
+        rep = len(run_details)
+        attempt = rep + extra_used
+        if attempt % 2 == 0:
             rlo, clo = _one_leg(lo)
             rhi, chi = _one_leg(hi)
         else:
@@ -513,9 +535,9 @@ def main() -> None:
         checksums.add(rlo["checksum"])
         speedup = rhi["urls_per_sec"] / rlo["urls_per_sec"]
         hw_speedup = chi["mean"] / clo["mean"]
-        run_details.append(
+        detail = (
             {
-                "order": "lo_first" if rep % 2 == 0 else "hi_first",
+                "order": "lo_first" if attempt % 2 == 0 else "hi_first",
                 "urls_per_sec_low": round(rlo["urls_per_sec"], 1),
                 "urls_per_sec_high": round(rhi["urls_per_sec"], 1),
                 "wall_s_low": round(rlo["wall_s"], 2),
@@ -556,6 +578,26 @@ def main() -> None:
                 ) if rhi["superstep_wall_s"] else None,
             }
         )
+        collapsed = [
+            c for c, ctl in ((lo, clo), (hi, chi))
+            if ctl["post"] < valid_frac * ctl["pre"]
+        ]
+        if collapsed and extra_used < max_extra:
+            extra_used += 1
+            detail["invalid"] = (
+                f"mid-leg host collapse at {collapsed} cores: "
+                f"post-control < {valid_frac}×pre-control"
+            )
+            invalid_runs.append(detail)
+            print(
+                f"# scaling repeat {rep + 1}/{repeats} INVALID "
+                f"({detail['invalid']}; raw would have been "
+                f"{detail['efficiency']:.3f}) — retrying "
+                f"({extra_used}/{max_extra} extra attempts used)",
+                file=sys.stderr,
+            )
+            continue
+        run_details.append(detail)
         print(
             f"# scaling repeat {rep + 1}/{repeats}: raw efficiency "
             f"{run_details[-1]['efficiency']:.3f}, normalized "
@@ -590,6 +632,13 @@ def main() -> None:
             med("efficiency_normalized_unclamped"), 3
         ),
         "runs": run_details,
+        "invalid_runs": invalid_runs,
+        "validity_rule": (
+            f"repeat invalid (recorded above, re-run, max {max_extra} "
+            f"extra attempts) when either leg's post-control < "
+            f"{valid_frac}×pre-control — the sandwiching controls "
+            "witnessed the host's burn limiter engaging mid-leg"
+        ),
         "identical_seen_set_and_ordering": True,
         "frontier_rows": rhi["frontier_rows"],
         "fetched_pages": rhi["fetched_pages"],
