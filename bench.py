@@ -83,6 +83,9 @@ HEADLINE = [
     # end product, priced end-to-end
     "dedup_canonical",
     "dedup_minhash_lsh",
+    # the full production chain (LSH candidates → exact verify →
+    # components → canonical corpus) priced as ONE job
+    "dedup_pipeline_lsh",
     "dedup_simhash",
     "embedding_dup_pairs_gated",
     "config_url_log",
@@ -666,9 +669,12 @@ def main() -> None:
         # committer init, python worker spawn, parquet footer reads) so
         # the FIRST timed query doesn't carry them
         EQ.QUERIES["politeness_topk"](spark, SF_DIR).count()
+        # knn_ivf_seed moved out of the driver contract (≤50 entries) but
+        # stays a bench headline — the delta vs knn_ivf prices the Lloyd job
+        all_queries = {**EQ.QUERIES, **EQ.PYTEST_ONLY_QUERIES}
         qtimes: dict[str, float] = {}
         for name in HEADLINE:
-            fn = EQ.QUERIES[name]
+            fn = all_queries[name]
             t0 = time.monotonic()
             n = fn(spark, SF_DIR).count()
             qtimes[name] = round(time.monotonic() - t0, 3)

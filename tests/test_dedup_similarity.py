@@ -457,3 +457,63 @@ def test_dedup_canonical_surviving_set(docs):
 def test_dedup_canonical_no_pairs_keeps_everything(spark, docs):
     empty = spark.createDataFrame([], "doc_a long, doc_b long")
     assert D.dedup_canonical(docs, empty).count() == docs.count()
+
+
+def test_verify_pairs_jaccard_matches_bruteforce(docs):
+    """Candidate-restricted verify must equal the full exact self-join
+    restricted to the same candidate set — including REJECTING candidate
+    pairs below the threshold and dropping zero-shared-shingle pairs."""
+    exact = {
+        (r["doc_a"], r["doc_b"]): (r["shared"], r["n_a"], r["n_b"])
+        for r in D.ngram_jaccard_pairs(
+            docs, n=3, threshold_num=1, threshold_den=2
+        ).collect()
+    }
+    cand = D.minhash_lsh_candidates(docs, num_hashes=64, bands=16, shingle_n=3)
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["shared"], r["n_a"], r["n_b"])
+        for r in D.verify_pairs_jaccard(
+            docs, cand, n=3, threshold_num=1, threshold_den=2
+        ).collect()
+    }
+    cand_set = {(r["doc_a"], r["doc_b"]) for r in cand.collect()}
+    want = {p: v for p, v in exact.items() if p in cand_set}
+    assert got == want
+    assert got  # the synthetic near-dups make this non-vacuous
+
+
+def test_verify_pairs_rejects_below_threshold(spark):
+    """An LSH false-positive candidate (zero shared shingles) and a
+    half-similar pair are both rejected at 3/4; the near-identical pair
+    survives with the exact integer counts."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e f g"),   # shares 4 of (4,5) trigram sets w/ 1
+            (3, "x y z w v u"),     # disjoint from 1
+        ],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame([(1, 2), (1, 3)], "doc_a long, doc_b long")
+    rows = D.verify_pairs_jaccard(
+        df, cand, n=3, threshold_num=3, threshold_den=4
+    ).collect()
+    assert [(r["doc_a"], r["doc_b"], r["shared"], r["n_a"], r["n_b"])
+            for r in rows] == [(1, 2, 4, 4, 5)]
+    # at 1/2 the (1,2) pair still passes, (1,3) still has no shared row
+    rows2 = D.verify_pairs_jaccard(
+        df, cand, n=3, threshold_num=1, threshold_den=2
+    ).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in rows2} == {(1, 2)}
+
+
+def test_dedup_pipeline_lsh_end_to_end(docs):
+    """The one-call chain equals composing its stages by hand, and the
+    synthetic exact+near dups (ids >= 100000) never survive."""
+    kept = {r["doc_id"] for r in D.dedup_pipeline_lsh(docs).collect()}
+    cand = D.minhash_lsh_candidates(docs, num_hashes=64, bands=16, shingle_n=3)
+    verified = D.verify_pairs_jaccard(docs, cand)
+    manual = {r["doc_id"] for r in D.dedup_canonical(docs, verified).collect()}
+    assert kept == manual
+    assert not any(i >= 100000 for i in kept)
+    assert kept  # canonical members + unclustered docs survive

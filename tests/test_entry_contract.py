@@ -30,8 +30,24 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+from scrapy_playwright_scrapegraphai_spark import entry_queries as EQ
+
 ORACLES = entry_mod.oracle_sql()
 QUERIES = entry_mod.queries()
+
+# demoted-from-contract variants (driver records at most 50 entries; see
+# entry_queries.PYTEST_ONLY_QUERIES) keep full oracle parity here
+ORACLES.update(EQ.PYTEST_ONLY_ORACLES)
+QUERIES.update(
+    {k: entry_mod._with_pyfiles(fn) for k, fn in EQ.PYTEST_ONLY_QUERIES.items()}
+)
+
+
+def test_contract_size_within_driver_cap():
+    # the round-4 driver silently recorded only the first 50 dict entries;
+    # every contract query must land in CORRECTNESS_r{N}.json
+    assert len(entry_mod.queries()) <= 50
+    assert set(entry_mod.oracle_sql()) == set(entry_mod.queries())
 
 
 def test_entry_smoke(spark):

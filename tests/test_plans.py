@@ -106,7 +106,7 @@ def test_no_nested_loop_outside_designated_verifiers(spark):
         "table_counts",          # 1-row × 1-row count joins
     }
     bad = []
-    for name, fn in EQ.QUERIES.items():
+    for name, fn in {**EQ.QUERIES, **EQ.PYTEST_ONLY_QUERIES}.items():
         if name in allowed_quadratic:
             continue
         plan = _plan(fn(spark, SF))
