@@ -69,14 +69,21 @@ from .store import SnapshotStore
 
 # Largest In(url, [...]) list forwarded to the parquet reader as an exact
 # pushed filter. parquet-mr represents a pushed In as a nested binary
-# Or(Or(Or(...))) tree whose evaluation recurses once per term — ~1500+
-# terms overflows a default-sized executor thread stack (measured:
-# StackOverflowError at 2000 urls, OK at 1500, pyspark 4.1.2 / Java 17).
-# 1000 keeps ~2x margin since the trigger depth depends on how much stack
-# the surrounding operator chain already consumed. Lists above the cap
-# still evaluate exactly (InSet hash probe post-scan); only the
-# scan-level pruning falls back to the pushed min/max range filter.
-PARQUET_IN_PUSHDOWN_SAFE_MAX = 1000
+# Or(Or(Or(...))) tree whose evaluation recurses once per term and
+# overflows a default-sized executor thread stack. The trigger depth is
+# NOT stable: it depends on JIT state (interpreted frames are several
+# times fatter, so a COLD JVM overflows far earlier than a warmed one)
+# and on how much stack the surrounding operator chain already consumed.
+# Measured on pyspark 4.1.2 / Java 17, default -Xss: warm JVM OK at
+# 1200+, cold JVM (first scan of the session) StackOverflowError at 800,
+# OK at 700. 384 keeps ~2x margin below the worst (cold) observed
+# failure; tests/test_plans.py::
+# test_cap_sized_in_list_actually_pushes_through_a_real_scan re-measures
+# a cap-sized push on every run so a Spark/JVM bump that shifts the
+# limit fails loudly. Lists above the cap still evaluate exactly (InSet
+# hash probe post-scan); only the scan-level pruning falls back to the
+# pushed min/max range filter.
+PARQUET_IN_PUSHDOWN_SAFE_MAX = 384
 
 METRICS_DDL = (
     "superstep int, n_work long, n_admitted long, n_denied long, "
@@ -682,8 +689,8 @@ class CrawlEngine:
                 # point set → row-group stats + ColumnIndex page pruning
                 # do their job (measured 6.5 s → 1.9 s on the bench
                 # corpus). Capped at PARQUET_IN_PUSHDOWN_SAFE_MAX: a
-                # pushed In beyond ~1500 terms overflows the executor
-                # stack (nested binary OR tree — see the constant's
+                # pushed In overflows the executor stack at ~800 terms on
+                # a cold JVM (nested binary OR tree — see the constant's
                 # docstring); larger small-batches keep the exact isin()
                 # filter post-scan and a range filter in the scan.
                 _key = "spark.sql.parquet.pushdown.inFilterThreshold"
@@ -692,7 +699,15 @@ class CrawlEngine:
                         int(spark.conf.get(_key, "10")) <= len(batch_urls)
                         <= PARQUET_IN_PUSHDOWN_SAFE_MAX
                     ):
-                        spark.conf.set(_key, str(len(batch_urls) + 1))
+                        # min(): the conf persists across batches, so it
+                        # must never exceed the cap — Spark pushes an In
+                        # when len <= threshold, so a cap-sized threshold
+                        # still pushes a cap-sized list while a cap+1 list
+                        # falls back to the range filter
+                        spark.conf.set(_key, str(min(
+                            len(batch_urls) + 1,
+                            PARQUET_IN_PUSHDOWN_SAFE_MAX,
+                        )))
                 except Exception:
                     pass  # conf not supported on this session — range scan
                 page_content = page_content.filter(

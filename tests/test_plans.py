@@ -218,3 +218,48 @@ def test_point_lookup_batch_above_parquet_in_pushdown_cap(spark, tmp_path):
     ).run()
     processed = r.frontier.filter("url_state = 'processed'").count()
     assert processed == n_hosts * pages_per_host
+
+
+def test_cap_sized_in_list_actually_pushes_through_a_real_scan(spark, tmp_path):
+    """PARQUET_IN_PUSHDOWN_SAFE_MAX encodes a parquet-mr recursion limit
+    measured on THIS JVM's default thread stack (a pushed In compiles to
+    a nested binary OR tree; measured overflow at 800 terms on a COLD
+    JVM — interpreted frames, first scan of the session — vs 1200+ OK
+    once JIT-warmed, pyspark 4.1.2 / Java 17; the cap keeps ~2x margin
+    below the cold failure). Push an exactly-cap-sized In through a
+    real parquet scan and evaluate it, so a Spark/JVM upgrade that moves
+    the limit below the cap fails THIS test loudly instead of crashing a
+    production superstep. Also pins the engine's conf algebra: the
+    session threshold never exceeds the cap, cap-sized lists push,
+    cap+1 lists fall back to a range filter."""
+    from scrapy_playwright_scrapegraphai_spark.plans.driver import (
+        PARQUET_IN_PUSHDOWN_SAFE_MAX,
+    )
+
+    cap = PARQUET_IN_PUSHDOWN_SAFE_MAX
+    path = str(tmp_path / "urls.parquet")
+    spark.range(5000).selectExpr(
+        "concat('https://h', id % 50, '.example/p', id) AS url", "id"
+    ).write.parquet(path)
+    urls = [f"https://h{i % 50}.example/p{i}" for i in range(cap)]
+    key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    old = spark.conf.get(key, "10")
+    try:
+        spark.conf.set(key, str(cap))
+        scan = spark.read.parquet(path).filter(F.col("url").isin(urls))
+        plan = scan._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [In(url" in plan, plan[:2000]
+        # the real check: evaluating the cap-sized OR tree on the
+        # executor must not overflow the stack
+        assert scan.count() == cap
+        # one term above the cap: parquet-mr falls back to the min/max
+        # range filter (invisible in the plan string — PushedFilters
+        # shows the SOURCE-level In either way; the threshold only
+        # switches the parquet-level predicate), and the exact post-scan
+        # InSet keeps the result correct
+        over = spark.read.parquet(path).filter(
+            F.col("url").isin(urls + ["https://h0.example/zzz"])
+        )
+        assert over.count() == cap
+    finally:
+        spark.conf.set(key, old)
