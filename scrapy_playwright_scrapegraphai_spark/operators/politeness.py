@@ -41,29 +41,54 @@ class AdmissionResult:
 
 
 _REGEX_META = set(".^$*+?{}[]()|\\")
+# Java-regex mirrors of the Python per-pattern check below: any regex
+# metacharacter, or any non-ASCII char (JVM lower() and str.lower()
+# disagree on some case foldings, e.g. 'İ', 'ẞ')
+_BAD_META_RE = r"[\^.$*+?{}\[\]()|\\]"
+_NON_ASCII_RE = r"[^\x00-\x7F]"
+
+
+def robots_dim_profile(robots: DataFrame) -> tuple[bool, int]:
+    """(regex_free, n_rows) of the robots dim in ONE aggregate job.
+
+    regex_free is True iff every allow/deny pattern is ASCII and free of
+    regex metacharacters. For such patterns the reference's dual
+    predicate (case-insensitive substring OR case-insensitive regex
+    search, url_utils.py:14-24) degenerates to plain substring
+    containment, which the JVM evaluates natively — no Python stage in
+    the politeness path.
+
+    Scale: the check is a distributed ``exists``-over-patterns reduced
+    with ``bool_and`` — a scalar aggregate, never a collect of the
+    rules, so a millions-of-hosts robots table (10^10-URL frontier)
+    costs one scan. n_rows rides the same job and gates whether the
+    politeness join force-broadcasts the dim (see ``with_robots``).
+    """
+    def _bad(p):
+        return p.rlike(_BAD_META_RE) | p.rlike(_NON_ASCII_RE)
+
+    row = (
+        robots.select(
+            F.coalesce(
+                F.exists("allow_patterns", _bad)
+                | F.exists("deny_patterns", _bad),
+                F.lit(False),
+            ).alias("_bad")
+        )
+        .agg(
+            F.coalesce(F.bool_and(~F.col("_bad")), F.lit(True)).alias("ok"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    return bool(row["ok"]), int(row["n"])
 
 
 def rules_are_regex_free(robots: DataFrame) -> bool:
     """True iff every allow/deny pattern is ASCII and free of regex
-    metacharacters.
-
-    For such patterns the reference's dual predicate (case-insensitive
-    substring OR case-insensitive regex search, url_utils.py:14-24)
-    degenerates to plain substring containment, which the JVM evaluates
-    natively — no Python stage in the politeness path. Non-ASCII
-    patterns are excluded because JVM ``lower()`` and Python
-    ``str.lower()`` disagree on some case foldings (e.g. 'İ', 'ẞ'), and
-    the native verdict must be byte-identical to the parity UDF. The
-    robots dim table is broadcast-small by design, so this one collect
-    at engine init is the standard small-dim inspection.
-    """
-    rows = robots.select("allow_patterns", "deny_patterns").collect()
-    for r in rows:
-        for pats in (r["allow_patterns"], r["deny_patterns"]):
-            for p in pats or []:
-                if not p.isascii() or any(ch in _REGEX_META for ch in p):
-                    return False
-    return True
+    metacharacters (see ``robots_dim_profile`` — this is the same
+    aggregate, kept for callers that only need the verdict)."""
+    return robots_dim_profile(robots)[0]
 
 
 def _contains_any(url, patterns) -> "F.Column":
@@ -72,17 +97,26 @@ def _contains_any(url, patterns) -> "F.Column":
 
 
 def with_robots(work: DataFrame, robots: DataFrame,
-                native: bool = False) -> DataFrame:
-    """Broadcast-join politeness rules onto work rows (small dim table).
+                native: bool = False, broadcast: bool = True) -> DataFrame:
+    """Join politeness rules onto work rows.
 
     ``native=True`` (caller has verified ``rules_are_regex_free``) keeps
     the allow/deny verdict entirely JVM-side; otherwise the Python-parity
     UDF evaluates the reference's dual substring/regex semantics.
+
+    ``broadcast=True`` hints the rules as the broadcast build side — the
+    right plan while the dim is genuinely small (the reference's config
+    is a handful of hosts). A 10^10-URL frontier spans millions of
+    hosts; above ``CrawlConfig.robots_broadcast_max_rows`` the engine
+    passes ``broadcast=False`` and the join is left UNHINTED, so
+    Catalyst/AQE picks broadcast vs shuffle from runtime stats instead
+    of being forced to ship an over-sized dim to every executor.
     """
     rules = robots.select(
         "main_domain", "allow_patterns", "deny_patterns", "crawl_delay_s"
     )
-    joined = work.join(F.broadcast(rules), on="main_domain", how="left")
+    side = F.broadcast(rules) if broadcast else rules
+    joined = work.join(side, on="main_domain", how="left")
     if native:
         denied = _contains_any(F.col("url"), F.col("deny_patterns")) & ~F.coalesce(
             _contains_any(F.col("url"), F.col("allow_patterns")), F.lit(False)
@@ -105,6 +139,7 @@ def admit_tagged(
     salt_shards: int = 8,
     order_cols: tuple[str, ...] = ("discovery_seq",),
     native_robots: bool = False,
+    broadcast_robots: bool = True,
 ) -> DataFrame:
     """Tag every work row with ``_disposition`` ∈ admitted/deferred/denied.
 
@@ -122,7 +157,9 @@ def admit_tagged(
     # and admit 1 URL/host where the oracle admits superstep/default
     _delay = F.coalesce(F.col("crawl_delay_s"), F.lit(DEFAULT_CRAWL_DELAY_S))
     _delay = F.when(_delay > 0, _delay).otherwise(F.lit(DEFAULT_CRAWL_DELAY_S))
-    w = with_robots(work, robots, native=native_robots).withColumn(
+    w = with_robots(
+        work, robots, native=native_robots, broadcast=broadcast_robots
+    ).withColumn(
         "_budget",
         F.greatest(
             F.lit(1),

@@ -127,6 +127,14 @@ class CrawlConfig:
     # candidate shard ↔ shard blob — at the 10^10 design point the
     # bitmaps total ~12 GB and must never broadcast)
     bloom_broadcast_max_bytes: int = 64 << 20
+    # robots dim rows up to which the politeness join force-broadcasts
+    # the rules (reference parity: a handful of hosts). Above it the
+    # join is left unhinted — a millions-of-hosts robots table on a
+    # 10^10-URL frontier should let Catalyst/AQE pick broadcast vs
+    # shuffle from runtime stats rather than ship an oversized dim to
+    # every executor. 100k rows ≈ tens of MB of patterns, the edge of
+    # sensible broadcast on big-memory executors.
+    robots_broadcast_max_rows: int = 100_000
     # warm the pages-table scan machinery on a background thread at run()
     # start: a zero-row pushed-down point probe parses every parquet
     # footer + ColumnIndex and initializes the vectorized reader without
@@ -169,9 +177,11 @@ class CrawlEngine:
         self.cfg = config or CrawlConfig()
         self.store = SnapshotStore(checkpoint_dir)
         # regex-free allow/deny rules → JVM-native substring verdict (no
-        # Python stage in the politeness path); one tiny collect on the
-        # broadcast-small robots dim
-        self._native_robots = politeness.rules_are_regex_free(robots)
+        # Python stage in the politeness path). ONE scalar aggregate job
+        # (never a collect of the rules) also measures the dim to decide
+        # whether the politeness join may force-broadcast it.
+        self._native_robots, n_rules = politeness.robots_dim_profile(robots)
+        self._broadcast_robots = n_rules <= self.cfg.robots_broadcast_max_rows
         # in-flight background bloom merges: (thread, {"err": ...}) pairs;
         # joined before the next probe (see _flush_bloom_pending)
         self._bloom_pending: list = []
@@ -614,6 +624,7 @@ class CrawlEngine:
                     work, self.robots, cfg.superstep_seconds, step_salt,
                     order_cols=cfg.order_cols,
                     native_robots=self._native_robots,
+                    broadcast_robots=self._broadcast_robots,
                 )
                 .observe(
                     obs_adm,

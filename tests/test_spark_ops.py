@@ -582,3 +582,75 @@ def test_main_domain_native_equals_kernel_on_valid_urls(spark):
     }
     for u in valid:
         assert got[u] == K.main_domain(u), repr(u)
+
+
+def test_robots_dim_profile_is_aggregate_not_collect(spark):
+    """The regex-free verdict + dim size come from ONE scalar aggregate
+    (scales to a millions-of-hosts robots table); verdicts match the
+    per-pattern Python rules exactly."""
+    from scrapy_playwright_scrapegraphai_spark.operators.politeness import (
+        robots_dim_profile,
+    )
+
+    clean = _robots_df(
+        spark, [("h1.t", ["/ok/"], ["/private/"], 2.0), ("h2.t", [], [], 1.0)]
+    )
+    assert robots_dim_profile(clean) == (True, 2)
+    meta = _robots_df(spark, [("h1.t", [], ["/p.*/"], 2.0), ("h2.t", [], [], 1.0)])
+    assert robots_dim_profile(meta) == (False, 2)
+    non_ascii = _robots_df(spark, [("h1.t", [], ["/İstanbul/"], 2.0)])
+    assert robots_dim_profile(non_ascii) == (False, 1)
+    # NULL pattern arrays = no rules for that host = still regex-free
+    null_arrays = _robots_df(spark, [("h1.t", None, None, 2.0)])
+    assert robots_dim_profile(null_arrays) == (True, 1)
+    empty = _robots_df(spark, [])
+    assert robots_dim_profile(empty) == (True, 0)
+
+
+def test_robots_broadcast_gate_engine_equality(spark):
+    """broadcast_robots=False (the 10^10-host degradation) must produce
+    the IDENTICAL admission set, and the plan must actually lose the
+    forced broadcast when auto-broadcast is off."""
+    from scrapy_playwright_scrapegraphai_spark.operators.politeness import (
+        admit_tagged,
+    )
+
+    work = spark.createDataFrame(
+        [
+            (f"https://h{i % 5}.t/p{i}", f"h{i % 5}.t", i)
+            for i in range(200)
+        ],
+        "url string, main_domain string, discovery_seq long",
+    )
+    robots = _robots_df(
+        spark,
+        [(f"h{i}.t", ["/p1"], ["/p"], 2.0) for i in range(5)],
+    )
+
+    def rows(df):
+        return sorted(
+            (r["url"], r["_disposition"]) for r in df.collect()
+        )
+
+    hinted = admit_tagged(work, robots, 10.0, 4, native_robots=True,
+                          broadcast_robots=True)
+    unhinted = admit_tagged(work, robots, 10.0, 4, native_robots=True,
+                            broadcast_robots=False)
+    assert rows(hinted) == rows(unhinted)
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    try:
+        # fresh plans compiled under -1: the hint must survive, the
+        # unhinted join must degrade to a non-broadcast strategy
+        spark.conf.set(key, "-1")
+        plan_h = admit_tagged(
+            work, robots, 10.0, 4, native_robots=True, broadcast_robots=True
+        )._jdf.queryExecution().executedPlan().toString()
+        plan_u = admit_tagged(
+            work, robots, 10.0, 4, native_robots=True, broadcast_robots=False
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan_h      # hint survives -1
+        assert "BroadcastHashJoin" not in plan_u  # unhinted degrades
+    finally:
+        spark.conf.set(key, old)
