@@ -541,6 +541,11 @@ def main() -> None:
         detail = (
             {
                 "order": "lo_first" if attempt % 2 == 0 else "hi_first",
+                # attempt index (counting invalidated ones) so order skew
+                # among the VALID runs is auditable at a glance — retries
+                # flip the thermal order, which can leave the valid set
+                # leaning toward one order
+                "attempt": attempt,
                 "urls_per_sec_low": round(rlo["urls_per_sec"], 1),
                 "urls_per_sec_high": round(rhi["urls_per_sec"], 1),
                 "wall_s_low": round(rlo["wall_s"], 2),
@@ -585,6 +590,12 @@ def main() -> None:
             c for c, ctl in ((lo, clo), (hi, chi))
             if ctl["post"] < valid_frac * ctl["pre"]
         ]
+        if collapsed:
+            # always annotate a control-proven collapse — including the
+            # max_extra-exhausted case where the corrupted repeat COUNTS
+            # (an auditor must not have to recompute post/pre ratios to
+            # notice a counted-but-collapsed repeat)
+            detail["collapsed_controls"] = collapsed
         if collapsed and extra_used < max_extra:
             extra_used += 1
             detail["invalid"] = (
@@ -636,6 +647,12 @@ def main() -> None:
         ),
         "runs": run_details,
         "invalid_runs": invalid_runs,
+        # leg-order mix of the VALID runs (retries flip thermal order, so
+        # the valid set can skew toward one order; disclosed for audit)
+        "order_balance": {
+            o: sum(1 for r in run_details if r["order"] == o)
+            for o in ("lo_first", "hi_first")
+        },
         "validity_rule": (
             f"repeat invalid (recorded above, re-run, max {max_extra} "
             f"extra attempts) when either leg's post-control < "
