@@ -4,6 +4,17 @@ Streams parquet via pyarrow (no driver-side createDataFrame of the whole
 corpus). Same page/link semantics as synth.py but sized for measuring the
 fetch-join → extract → classify → dedup pipeline throughput: many hosts,
 heavier pages (more anchors, more text), one mega-host for skew.
+
+Physical layout (hubs-first, ``_LAYOUT`` in the footer metadata): every
+host's hub page (the seed superstep's entire fetch set) is written FIRST,
+into one tight row group, with the regular pages streamed after it. The
+seed superstep's pushed-down In(url, [hub urls]) then decodes ONE
+co-located row group instead of touching one data page in every host's
+block across the whole file — the single-file stand-in for an Iceberg
+table whose seed tier is clustered/sorted so metadata pruning makes a
+48-row point lookup cost 48 rows. Page content is derived from a
+PER-PAGE rng (seed, host, page), so the layout is free to order rows
+without changing any page's bytes.
 """
 
 from __future__ import annotations
@@ -19,6 +30,17 @@ _WORDS = (
     "council public notice meeting budget plan street light data value"
 ).split()
 
+# bump to force regeneration of corpora written with an older physical
+# layout (checked via the parquet schema metadata; row counts alone can't
+# see a layout change)
+_LAYOUT = b"hubs_first_v1"
+
+
+def _page_rng(seed: int, host: int, j: int) -> random.Random:
+    """Per-page rng: content depends only on (seed, host, page index),
+    never on generation order — the writer may lay rows out freely."""
+    return random.Random(f"{seed}/{host}/{j}")
+
 
 def generate_bench_corpus(
     path: str,
@@ -33,10 +55,9 @@ def generate_bench_corpus(
     """Write pages parquet to ``path``; return corpus facts (row counts).
 
     Deterministic; idempotent (skips regeneration if the manifest row
-    count matches).
+    count AND the physical-layout version match).
     """
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    rng = random.Random(seed)
     schema = pa.schema(
         [
             ("url", pa.string()),
@@ -44,7 +65,8 @@ def generate_bench_corpus(
             ("html", pa.binary()),
             ("text", pa.string()),
             ("lang", pa.string()),
-        ]
+        ],
+        metadata={b"sps_layout": _LAYOUT},
     )
     host_pages = {
         h: pages_per_host * (mega_host_factor if h == 0 else 1)
@@ -70,27 +92,68 @@ def generate_bench_corpus(
     warm_total = n_hosts * 4
     if os.path.exists(path) and os.path.exists(warm_path):
         try:
+            meta = pq.read_schema(path).metadata or {}
             if (
                 pq.read_metadata(path).num_rows == total
                 and pq.read_metadata(warm_path).num_rows == warm_total
+                and meta.get(b"sps_layout") == _LAYOUT
             ):
                 return {"rows": total, "path": path, "regenerated": False}
         except Exception:
             pass
-
     import datetime as dt
 
     epoch = dt.datetime(2024, 11, 15)
-    # page indexes (parquet ColumnIndex/OffsetIndex): the data is written
-    # clustered by host with tight per-page url min/max, so a pushed-down
-    # In(url, [...]) predicate from the engine's small-batch lookup path
-    # skips whole data pages — a point fetch decodes ~none of the html of
-    # non-matching rows instead of the full corpus
+
+    def _page_row(h: int, j: int):
+        """(url, warc_ts, html, text, lang) of page j of host h —
+        deterministic in (seed, h, j) alone."""
+        rng = _page_rng(seed, h, j)
+        count = host_pages[h]
+        host = f"bench{h}.example.test"
+        parts = [f"<html><head><title>p{j} {host}</title></head><body>"]
+        wl = rng.choices(_WORDS, k=words_per_page)
+        words = " ".join(wl)
+        # spread the text over paragraphs so extract_text sees many nodes
+        for w0 in range(0, words_per_page, 60):
+            parts.append(f"<p>{' '.join(wl[w0:w0 + 60])}</p>")
+        if j == 0:
+            # page 0 is the hub: links to every page of the host, so a
+            # max_depth=1 crawl reaches the full host in ONE superstep
+            # (big parallel batch instead of many small BFS waves); the
+            # mega-host hub is also the politeness-skew stressor
+            for k in range(1, count):
+                parts.append(f'<a href="/page/{k}">s{k}</a>')
+        for _ in range(links_per_page):
+            k = rng.randrange(count)
+            parts.append(f'<a href="/page/{k}">s{k}</a>')
+        for _ in range(4):
+            d = rng.randrange(10000)
+            parts.append(f'<a href="/files/doc{d}.pdf">t{d}</a>')
+        parts.append("</body></html>")
+        # warc_ts: global generation-order second offset (host blocks,
+        # hub first within each) — same clock semantics as before
+        ts = sum(host_pages[hh] for hh in range(h)) + j
+        return (
+            f"https://{host}/page/{j}",
+            epoch + dt.timedelta(seconds=ts),
+            "".join(parts).encode(),
+            words,  # bench corpus: text not parity-checked
+            "en",
+        )
+
+    # page indexes (parquet ColumnIndex/OffsetIndex): tight per-page url
+    # min/max so pushed-down point predicates skip whole data pages; plus
+    # the hubs-first row group (module docstring) so the seed superstep's
+    # In(url, [hubs]) decodes one row group total
     writer = pq.ParquetWriter(path, schema, write_page_index=True)
     warm_writer = pq.ParquetWriter(warm_path, schema, write_page_index=True)
     buf = {k: [] for k in ("url", "warc_ts", "html", "text", "lang")}
     warm_buf = {k: [] for k in ("url", "warc_ts", "html", "text", "lang")}
-    ts = 0
+
+    def _append(b, row):
+        for key, v in zip(("url", "warc_ts", "html", "text", "lang"), row):
+            b[key].append(v)
 
     def flush():
         if not buf["url"]:
@@ -99,56 +162,36 @@ def generate_bench_corpus(
         for v in buf.values():
             v.clear()
 
+    # pass 1: every host's hub — ONE leading row group (the seed tier)
     for h in range(n_hosts):
-        count = host_pages[h]
+        row = _page_row(h, 0)
+        _append(buf, row)
+        # warm hub: same url, small fan-out (see warm_hub_links)
+        rng = _page_rng(seed, h, 0)
+        wl = rng.choices(_WORDS, k=words_per_page)
         host = f"bench{h}.example.test"
-        for j in range(count):
-            parts = [f"<html><head><title>p{j} {host}</title></head><body>"]
-            wl = rng.choices(_WORDS, k=words_per_page)
-            words = " ".join(wl)
-            # spread the text over paragraphs so extract_text sees many nodes
-            for w0 in range(0, words_per_page, 60):
-                parts.append(f"<p>{' '.join(wl[w0:w0 + 60])}</p>")
-            if j == 0:
-                # page 0 is the hub: links to every page of the host, so a
-                # max_depth=1 crawl reaches the full host in ONE superstep
-                # (big parallel batch instead of many small BFS waves); the
-                # mega-host hub is also the politeness-skew stressor
-                for k in range(1, count):
-                    parts.append(f'<a href="/page/{k}">s{k}</a>')
-            for _ in range(links_per_page):
-                k = rng.randrange(count)
-                parts.append(f'<a href="/page/{k}">s{k}</a>')
-            for _ in range(4):
-                d = rng.randrange(10000)
-                parts.append(f'<a href="/files/doc{d}.pdf">t{d}</a>')
-            parts.append("</body></html>")
-            html = "".join(parts).encode()
-            buf["url"].append(f"https://{host}/page/{j}")
-            buf["warc_ts"].append(epoch + dt.timedelta(seconds=ts))
-            buf["html"].append(html)
-            buf["text"].append(words)  # bench corpus: text not parity-checked
-            buf["lang"].append("en")
-            if j == 0:
-                # warm hub: same url, small fan-out (see warm_hub_links)
-                wparts = [
-                    f"<html><head><title>p0 {host}</title></head><body>",
-                    f"<p>{' '.join(wl[:60])}</p>",
-                ]
-                for k in range(1, warm_hub_links + 1):
-                    wparts.append(f'<a href="/page/{k}">s{k}</a>')
-                for d in range(4):
-                    wparts.append(f'<a href="/files/doc{d}.pdf">t{d}</a>')
-                wparts.append("</body></html>")
-                warm_buf["url"].append(buf["url"][-1])
-                warm_buf["warc_ts"].append(buf["warc_ts"][-1])
-                warm_buf["html"].append("".join(wparts).encode())
-                warm_buf["text"].append(buf["text"][-1])
-                warm_buf["lang"].append("en")
-            elif j < 4:
-                for k in warm_buf:
-                    warm_buf[k].append(buf[k][-1])
-            ts += 1
+        wparts = [
+            f"<html><head><title>p0 {host}</title></head><body>",
+            f"<p>{' '.join(wl[:60])}</p>",
+        ]
+        for k in range(1, warm_hub_links + 1):
+            wparts.append(f'<a href="/page/{k}">s{k}</a>')
+        for d in range(4):
+            wparts.append(f'<a href="/files/doc{d}.pdf">t{d}</a>')
+        wparts.append("</body></html>")
+        _append(
+            warm_buf,
+            (row[0], row[1], "".join(wparts).encode(), row[3], row[4]),
+        )
+    flush()  # hubs get their own tight row group(s)
+
+    # pass 2: regular pages, streamed in host blocks
+    for h in range(n_hosts):
+        for j in range(1, host_pages[h]):
+            row = _page_row(h, j)
+            _append(buf, row)
+            if j < 4:
+                _append(warm_buf, row)
             if len(buf["url"]) >= chunk_rows:
                 flush()
     flush()
